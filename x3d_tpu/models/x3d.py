@@ -1,0 +1,366 @@
+"""The X3D network family as pure-functional Flax modules.
+
+Architecture parity with the reference (``/root/reference/model.py``):
+
+  * Stem (``model.py:134-210``): explicit (0,1,1) spatial pad → 1×3×3 conv
+    stride (1,2,2) → explicit (k//2,0,0) temporal pad → k×1×1 depthwise conv
+    → BN → ReLU.
+  * Bottleneck (``model.py:212-320``): 1×1×1 conv → BN → ReLU → T×3×3
+    depthwise conv, spatial stride → BN → [SE] → swish → 1×1×1 conv → BN.
+  * SE placement (``model.py:275,311,326,350-351`` — "Q1" in SURVEY.md §5):
+    the reference decides SE from a never-reset *class-level* global block
+    counter; for the first model built in a process, SE lands on blocks with
+    even 0-based global index across all stages.  Here that pattern is
+    computed deterministically at arch-build time, so every instantiation
+    matches the reference's first instance.
+  * ResBlock (``model.py:322-394``): projection shortcut (1×1×1 conv,
+    stride (1,s,s), + BN) iff channels change or stride ≠ 1; add → ReLU.
+  * Head (``model.py:78-111``): conv5 1×1×1 → BN → ReLU → global average
+    pool → fc1 (2048, no bias, ReLU) → dropout → fc2 → float32 softmax.
+  * Eval-time view ensembling (``model.py:123-127``): probabilities reshaped
+    to (-1, num_views, classes) and averaged over views.
+
+TPU-first design notes: NDHWC layout keeps channels on the 128-wide lane
+dimension; pointwise 1×1×1 convs are MXU matmuls; the depthwise T×3×3 convs
+go through ``x3d_tpu.ops.depthwise`` (VPU shifted-FMA by default, Pallas
+fused kernel optional); all BatchNorm math is float32 while conv compute is
+bfloat16.  Under ``pjit`` over a data-sharded batch, BN statistics are global
+(= synced across replicas) — the reference kept them per-replica
+(SURVEY.md §5); this is a deliberate, documented improvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from x3d_tpu import utils
+from x3d_tpu.ops.depthwise import DepthwiseConv3D
+
+# Keras Conv3D/Dense default initialiser is glorot_uniform; matching it keeps
+# training dynamics comparable (flax's default would be lecun_normal).
+_KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    """Static description of one residual block."""
+    in_channels: int
+    inner_channels: int
+    out_channels: int
+    stride: int          # spatial stride of the depthwise conv (1 or 2)
+    use_se: bool         # squeeze-excitation on this block (global pattern)
+    se_width: int        # hidden width of the SE bottleneck
+
+
+@dataclass(frozen=True)
+class X3DArch:
+    """Static architecture plan — hashable, safe to close over under jit."""
+    conv1_dim: int
+    temp_filter: int                      # stem temporal kernel size
+    stages: Tuple[Tuple[BlockSpec, ...], ...]
+    conv5_dim: int                        # = last stage's inner width
+    num_classes: int
+    dropout_rate: float
+    bn_momentum: float
+    bn_eps: float
+    num_views: int                        # eval-time clips averaged per video
+    temp_kernel: int = 3                  # bottleneck temporal kernel size
+    head_dim: int = 2048
+
+
+def build_arch(cfg) -> X3DArch:
+    """Expand the shared X3D template by the config's width/depth factors.
+
+    Mirrors the plan construction at reference ``model.py:27-76`` including
+    the SCALE_RES2 branch, and freezes the reference's first-instance SE
+    placement (SE on even 0-based global block indices).
+    """
+    net = cfg.NETWORK
+    if net.SCALE_RES2:
+        conv1_dim = utils.round_width(net.C1_CHANNELS, net.WIDTH_FACTOR)
+        multiplier = 1
+    else:
+        conv1_dim = utils.round_width(net.C1_CHANNELS, 2)
+        multiplier = 2
+
+    base = net.C1_CHANNELS * multiplier
+    block_basis = [
+        (1, base),
+        (2, utils.round_width(base, 2)),
+        (5, utils.round_width(base, 4)),
+        (3, utils.round_width(base, 8)),
+    ]
+
+    stages = []
+    in_dim = conv1_dim
+    global_index = 0
+    inner_dim = conv1_dim
+    for depth_base, width_base in block_basis:
+        out_dim = utils.round_width(width_base, net.WIDTH_FACTOR)
+        inner_dim = int(out_dim * net.BOTTLENECK_WIDTH_FACTOR)
+        depth = utils.round_repeats(depth_base, net.DEPTH_FACTOR)
+        blocks = []
+        for i in range(depth):
+            blocks.append(
+                BlockSpec(
+                    in_channels=in_dim if i == 0 else out_dim,
+                    inner_channels=inner_dim,
+                    out_channels=out_dim,
+                    stride=2 if i == 0 else 1,
+                    use_se=(global_index % 2 == 0),
+                    se_width=utils.round_width(inner_dim, 0.0625),
+                )
+            )
+            global_index += 1
+        stages.append(tuple(blocks))
+        in_dim = out_dim
+
+    return X3DArch(
+        conv1_dim=conv1_dim,
+        temp_filter=net.C1_TEMP_FILTER,
+        stages=tuple(stages),
+        conv5_dim=inner_dim,
+        num_classes=net.NUM_CLASSES,
+        dropout_rate=net.DROPOUT_RATE,
+        bn_momentum=net.BN.MOMENTUM,
+        bn_eps=net.BN.EPS,
+        num_views=cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS,
+    )
+
+
+def _conv1x1(features: int, dtype, name: str, use_bias: bool = False) -> nn.Conv:
+    return nn.Conv(
+        features=features,
+        kernel_size=(1, 1, 1),
+        strides=(1, 1, 1),
+        padding="VALID",
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=_KERNEL_INIT,
+        name=name,
+    )
+
+
+class _BN(nn.Module):
+    """float32 BatchNorm with the reference's momentum/eps.
+
+    Running statistics live in the ``batch_stats`` collection; under pjit the
+    batch mean/var reductions run over the *global* (sharded) batch, giving
+    cross-replica-synced BN.
+    """
+    momentum: float
+    eps: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+
+
+class Stem(nn.Module):
+    """Channelwise-separable spatiotemporal stem (reference model.py:134-210)."""
+    out_channels: int
+    temp_filter: int
+    bn_momentum: float
+    bn_eps: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # Explicit (1,1) spatial pad + VALID conv == the reference's
+        # tf.pad + Conv3D; note this differs from SAME (which pads (0,1)
+        # for even sizes), so it is reproduced exactly.
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_KERNEL_INIT,
+            name="conv_s",
+        )(x.astype(self.dtype))
+        k = self.temp_filter
+        x = DepthwiseConv3D(
+            kernel_size=(k, 1, 1),
+            strides=(1, 1, 1),
+            padding=((k // 2, k // 2), (0, 0), (0, 0)),
+            dtype=self.dtype,
+            name="conv_t",
+        )(x)
+        x = _BN(self.bn_momentum, self.bn_eps, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class SqueezeExcite(nn.Module):
+    """Global-pool → bottleneck MLP → sigmoid gate (reference model.py:274-290).
+
+    Note the reference regularises only ``se_fc2``'s kernel (``se_fc1`` has no
+    kernel_regularizer) — the L2 filter in the train step reproduces that.
+    """
+    width: int
+    channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
+        s = _conv1x1(self.width, self.dtype, "se_fc1", use_bias=True)(
+            pooled.astype(self.dtype))
+        s = nn.relu(s)
+        s = _conv1x1(self.channels, self.dtype, "se_fc2", use_bias=True)(s)
+        s = nn.sigmoid(s.astype(jnp.float32))
+        return x * s.astype(x.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1×1×1 → T×3×3 depthwise → [SE] → swish → 1×1×1, BN after each conv
+    (reference model.py:212-320)."""
+    spec: BlockSpec
+    temp_kernel: int
+    bn_momentum: float
+    bn_eps: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        spec = self.spec
+        out = _conv1x1(spec.inner_channels, self.dtype, "a")(x.astype(self.dtype))
+        out = _BN(self.bn_momentum, self.bn_eps, name="bn_a")(out, train)
+        out = nn.relu(out)
+        out = DepthwiseConv3D(
+            kernel_size=(self.temp_kernel, 3, 3),
+            strides=(1, spec.stride, spec.stride),
+            padding="SAME",
+            dtype=self.dtype,
+            name="b",
+        )(out)
+        out = _BN(self.bn_momentum, self.bn_eps, name="bn_b")(out, train)
+        if spec.use_se:
+            out = SqueezeExcite(spec.se_width, spec.inner_channels,
+                                self.dtype, name="se")(out)
+        out = nn.swish(out)
+        out = _conv1x1(spec.out_channels, self.dtype, "c")(out.astype(self.dtype))
+        out = _BN(self.bn_momentum, self.bn_eps, name="bn_c")(out, train)
+        return out
+
+
+class ResBlock(nn.Module):
+    """Residual wrapper with projection shortcut when shape changes
+    (reference model.py:322-394)."""
+    spec: BlockSpec
+    temp_kernel: int
+    bn_momentum: float
+    bn_eps: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        spec = self.spec
+        out = Bottleneck(spec, self.temp_kernel, self.bn_momentum,
+                         self.bn_eps, self.dtype, name="bottleneck")(x, train)
+        if spec.in_channels != spec.out_channels or spec.stride != 1:
+            res = nn.Conv(
+                features=spec.out_channels,
+                kernel_size=(1, 1, 1),
+                strides=(1, spec.stride, spec.stride),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=_KERNEL_INIT,
+                name="residual",
+            )(x.astype(self.dtype))
+            res = _BN(self.bn_momentum, self.bn_eps, name="bn_r")(res, train)
+        else:
+            res = x
+        return nn.relu(res.astype(jnp.float32) + out.astype(jnp.float32))
+
+
+class X3D(nn.Module):
+    """The full X3D network.
+
+    ``__call__`` returns softmax probabilities (float32), matching the
+    reference's ``model.call`` (``model.py:113-127``) including eval-time
+    view averaging; pass ``return_logits=True`` for the pre-softmax logits
+    (used by the numerically-stable training loss).
+    """
+    arch: X3DArch
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        arch = self.arch
+        x = Stem(arch.conv1_dim, arch.temp_filter, arch.bn_momentum,
+                 arch.bn_eps, self.dtype, name="conv_1")(x, train)
+        for si, blocks in enumerate(arch.stages):
+            for bi, spec in enumerate(blocks):
+                # stage numbering starts at 2, as in the paper and the
+                # reference's layer names (model.py:401,430)
+                x = ResBlock(spec, arch.temp_kernel, arch.bn_momentum,
+                             arch.bn_eps, self.dtype,
+                             name=f"stage{si + 2}_block{bi}")(x, train)
+        x = _conv1x1(arch.conv5_dim, self.dtype, "conv_5")(x.astype(self.dtype))
+        x = _BN(arch.bn_momentum, arch.bn_eps, name="bn_5")(x, train)
+        x = nn.relu(x)
+        # AdaptiveAvgPool3D((1,1,1)) == global mean over (T, H, W)
+        x = jnp.mean(x, axis=(1, 2, 3))
+        x = nn.Dense(
+            features=arch.head_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_KERNEL_INIT,
+            name="fc_1",
+        )(x.astype(self.dtype))
+        x = nn.relu(x)
+        x = nn.Dropout(rate=arch.dropout_rate, deterministic=not train)(x)
+        logits = nn.Dense(
+            features=arch.num_classes,
+            use_bias=True,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=_KERNEL_INIT,
+            name="fc_2",
+        )(x.astype(jnp.float32))
+        if return_logits:
+            return logits
+        probs = nn.softmax(logits, axis=-1)
+        if not train and arch.num_views > 1:
+            # batch arrives as (videos × views); average probs over views
+            probs = probs.reshape(-1, arch.num_views, arch.num_classes)
+            probs = probs.mean(axis=1)
+        return probs
+
+
+def create_model(cfg, dtype=None) -> X3D:
+    """Build an :class:`X3D` from a config (see ``x3d_tpu.config``)."""
+    if dtype is None:
+        dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE) if "TPU" in cfg else jnp.bfloat16
+    return X3D(arch=build_arch(cfg), dtype=dtype)
+
+
+def init_variables(model: X3D, rng, sample, train: bool = False):
+    """Initialise model variables under jit.
+
+    Eager ``model.init`` dispatches every op individually (one small XLA
+    compile per conv — minutes on a slow host); a single jitted trace
+    compiles once.
+    """
+    import jax
+
+    return jax.jit(lambda r, x: model.init({"params": r}, x, train=train))(
+        rng, sample
+    )

@@ -1,0 +1,69 @@
+"""Width/depth expansion math and pixel (de)normalization.
+
+Behavioural parity targets:
+  * ``round_width`` / ``round_repeats``  — reference ``utils.py:7-40`` (the
+    EfficientNet-style channel rounding that produces the published X3D
+    channel plans; param-count parity depends on reproducing it exactly).
+  * ``normalize`` / ``denormalize``      — reference ``utils.py:42-108``
+    (÷255, per-channel mean/std), here as pure jnp functions that fuse into
+    the surrounding jit program instead of a host-side ``tf.vectorized_map``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def round_width(width: int, multiplier: float, min_width: int = 8,
+                divisor: int = 8) -> int:
+    """Scale a channel count and round to a multiple of ``divisor``.
+
+    The result never drops below ``min_width`` nor below 90% of the scaled
+    width (in which case one extra ``divisor`` is added).  This is the rule
+    that turns the base plan (24, 48, 96, 192) into the published X3D channel
+    plans (reference ``utils.py:7-30``).
+    """
+    if not multiplier:
+        return width
+    scaled = width * multiplier
+    min_width = min_width or divisor
+    rounded = max(min_width, int(scaled + divisor / 2) // divisor * divisor)
+    if rounded < 0.9 * scaled:
+        rounded += divisor
+    return int(rounded)
+
+
+def round_repeats(repeats: int, multiplier: float) -> int:
+    """Scale a stage depth, rounding up (reference ``utils.py:32-40``)."""
+    if not multiplier:
+        return repeats
+    return int(math.ceil(multiplier * repeats))
+
+
+def normalize(clips: jnp.ndarray, mean: Sequence[float], std: Sequence[float],
+              norm_value: float = 255.0) -> jnp.ndarray:
+    """uint8-range pixels -> standardized floats, channelwise (last axis).
+
+    Pure elementwise math: under jit XLA fuses it into whatever consumes the
+    clip, so unlike the reference's host-side pass (``utils.py:42-72``) it is
+    free on TPU when run on device.
+    """
+    mean = jnp.asarray(mean, dtype=clips.dtype if clips.dtype.kind == "f" else jnp.float32)
+    std = jnp.asarray(std, dtype=mean.dtype)
+    x = clips.astype(mean.dtype) / norm_value
+    return (x - mean) / std
+
+
+def denormalize(clips: jnp.ndarray, mean: Sequence[float],
+                std: Sequence[float], norm_value: float = 255.0,
+                out_dtype=jnp.uint8) -> jnp.ndarray:
+    """Inverse of :func:`normalize`, for visualisation tooling
+    (reference ``utils.py:74-108``)."""
+    mean = jnp.asarray(mean, dtype=jnp.float32)
+    std = jnp.asarray(std, dtype=jnp.float32)
+    x = clips.astype(jnp.float32) * std + mean
+    x = jnp.clip(x * norm_value, 0, norm_value)
+    return x.astype(out_dtype)
