@@ -1,0 +1,145 @@
+"""Benchmark: X3D-M (16x224^2) clips/sec/chip, train + infer, on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Timing methodology (important on this host)
+-------------------------------------------
+The TPU here is reached through a remote-execution tunnel where
+``jax.block_until_ready`` returns at enqueue time, not completion
+(measured: a chained 8192^3 matmul loop "finished" at 26 PFLOP/s).  Honest
+timing therefore requires (a) a data dependency chaining step i+1 to step i,
+and (b) a device->host scalar fetch of a value that depends on the last
+step, with the fetch round-trip (~30 ms) measured separately and subtracted.
+Calibration with a known-FLOPs matmul gives 155 TFLOP/s ≈ 78% of v5e bf16
+peak — sane.
+
+Protocol
+--------
+* model: X3D-M exactly as configured by configs/kinetics/X3D_M.yaml
+  (3.79 M params, 16 frames @ 224^2 — the reference's headline variant).
+* train: full training step (CE + L2 loss, BN stats update, SGD-nesterov,
+  dropout, per-block remat) on synthetic device-resident data, bf16 compute.
+* infer: multi-view eval forward (softmax + 10-view averaging), bf16.
+
+Baseline
+--------
+The reference publishes no throughput numbers (SURVEY.md §6).  BASELINE.md's
+target is "exceed 4xV100 clips/sec on a v5e-8"; vs_baseline uses an
+engineering estimate of 30 train clips/s per V100 for X3D-M (no official
+number exists; stated explicitly so the ratio is interpretable).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP = 30.0
+
+
+def _fetch_scalar(x) -> float:
+    """Device->host fetch; the only trustworthy sync point on this host."""
+    import numpy as np
+
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def _measure_roundtrip(x) -> float:
+    """Median host fetch latency of an already-computed scalar."""
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _fetch_scalar(x)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from x3d_tpu import variant_config
+    from x3d_tpu.models import create_model
+    from x3d_tpu.train import create_train_state, make_eval_step, make_train_step
+
+    backend = jax.default_backend()
+    on_accel = backend in ("tpu", "gpu")
+
+    cfg = variant_config("M")
+    if not on_accel:  # CPU smoke fallback: tiny shapes, same code path
+        cfg.DATA.TEMP_DURATION = 4
+        cfg.DATA.TRAIN_CROP_SIZE = 64
+        cfg.DATA.TEST_CROP_SIZE = 64
+
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+    model = create_model(cfg, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+
+    T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
+    train_batch = 16 if on_accel else 2
+    video = jax.random.normal(key, (train_batch, T, S, S, 3), dtype=dtype)
+    label = jnp.arange(train_batch) % cfg.NETWORK.NUM_CLASSES
+    batch = {"video": video, "label": label}
+
+    state = create_train_state(cfg, model, key, video, steps_per_epoch=1000)
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+
+    # warmup / compile; establish fetch round-trip cost
+    state, metrics = train_step(state, batch, key)
+    _fetch_scalar(metrics["loss"])
+    rt = _measure_roundtrip(metrics["loss"])
+
+    steps = 50 if on_accel else 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch, key)  # state chains steps
+    _fetch_scalar(metrics["loss"])  # depends on the full chain
+    train_dt = (time.perf_counter() - t0 - rt) / steps
+    train_cps = train_batch / train_dt
+
+    # inference: eval protocol batch (views folded into batch dim), chained
+    # through a tiny additive perturbation so steps cannot overlap or fold.
+    views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    infer_videos = 4 if on_accel else 1
+    Se = cfg.DATA.TEST_CROP_SIZE
+    evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),
+                               dtype=dtype)
+    elabel = jnp.zeros((infer_videos,), jnp.int32)
+    eval_step = make_eval_step(model)
+
+    @jax.jit
+    def eval_chained(st, x):
+        out = eval_step(st, {"video": x, "label": elabel})
+        x = x + (out["loss_sum"] * 1e-12).astype(x.dtype)
+        return x, out
+
+    x, out = eval_chained(state, evideo)
+    _fetch_scalar(out["loss_sum"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x, out = eval_chained(state, x)
+    _fetch_scalar(out["loss_sum"])
+    infer_dt = (time.perf_counter() - t0 - rt) / steps
+    infer_cps = infer_videos * views / infer_dt
+
+    n_chips = jax.device_count()
+    result = {
+        "metric": "x3d_m_train_clips_per_sec_per_chip",
+        "value": round(train_cps / n_chips, 2),
+        "unit": f"clips/s/chip (train, {T}x{S}^2, bf16, {backend})",
+        "vs_baseline": round(
+            train_cps / n_chips / BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP, 3
+        ),
+        "infer_clips_per_sec_per_chip": round(infer_cps / n_chips, 2),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "infer_step_ms": round(infer_dt * 1e3, 2),
+        "train_batch": train_batch,
+        "fetch_roundtrip_ms": round(rt * 1e3, 2),
+        "chips": n_chips,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

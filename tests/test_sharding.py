@@ -1,0 +1,126 @@
+"""Sharding tests on the 8-virtual-device CPU mesh.
+
+Validates the distribution design (SURVEY.md §7 step 5): a data×model mesh,
+batch sharded on 'data', head tensor-parallel on 'model', full train step
+compiling and executing under jit with sharded inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from x3d_tpu import variant_config
+from x3d_tpu.models import create_model
+from x3d_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    shard_batch,
+    shard_state,
+)
+from x3d_tpu.train import create_train_state, make_eval_step, make_train_step
+
+
+def tiny_cfg():
+    cfg = variant_config("XS")
+    cfg.NETWORK.C1_CHANNELS = 4
+    cfg.NETWORK.DEPTH_FACTOR = 0.34
+    cfg.NETWORK.NUM_CLASSES = 16
+    cfg.NETWORK.DROPOUT_RATE = 0.0
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    return cfg
+
+
+def test_mesh_shapes(eight_devices):
+    mesh = create_mesh(data=-1, model=1, devices=eight_devices)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(data=4, model=2, devices=eight_devices)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(data=-1, model=3, devices=eight_devices)
+
+
+@pytest.mark.parametrize("data,model_ax", [(8, 1), (4, 2)])
+def test_sharded_train_step_runs(eight_devices, data, model_ax):
+    """Full train step over a (data x model) mesh: compiles, executes,
+    keeps batch sharded and params in their TP layout."""
+    mesh = create_mesh(data=data, model=model_ax, devices=eight_devices)
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    B = 8
+    video = jax.random.normal(key, (B, 4, 16, 16, 3))
+    label = jnp.arange(B) % 16
+
+    state = create_train_state(cfg, model, key, video, steps_per_epoch=2)
+    state = shard_state(state, mesh)
+    batch = shard_batch({"video": video, "label": label}, mesh)
+
+    def fc1_cols_sharded(s):
+        # with a size-1 model axis jax may canonicalize the spec; only a
+        # real TP split must preserve the column sharding
+        shard_cols = s.params["fc_1"]["kernel"].sharding.shard_shape(
+            s.params["fc_1"]["kernel"].shape)[1]
+        return shard_cols == 2048 // model_ax
+
+    assert fc1_cols_sharded(state)
+    step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    new_state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+    # params keep their sharding across the update
+    assert fc1_cols_sharded(new_state)
+    assert int(new_state.step) == 1
+
+
+def test_sharded_batch_layout(eight_devices):
+    mesh = create_mesh(devices=eight_devices)
+    x = jnp.zeros((16, 4, 8, 8, 3))
+    sharded = shard_batch({"video": x}, mesh)["video"]
+    assert sharded.sharding == batch_sharding(mesh)
+    # each device holds 1/8 of the batch
+    shard_shape = sharded.sharding.shard_shape(sharded.shape)
+    assert shard_shape[0] == 2
+
+
+def test_global_batch_stats_identical_to_single_device(eight_devices):
+    """BN under pjit reduces over the *global* batch: the sharded step must
+    produce the same new batch_stats as an unsharded run."""
+    mesh = create_mesh(devices=eight_devices)
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(key, (8, 4, 16, 16, 3))
+    label = jnp.arange(8) % 16
+    batch = {"video": video, "label": label}
+
+    state0 = create_train_state(cfg, model, key, video, steps_per_epoch=2)
+    step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    ref_state, ref_metrics = step(state0, batch, key)
+
+    sh_state = shard_state(state0, mesh)
+    sh_batch = shard_batch(batch, mesh)
+    new_state, metrics = step(sh_state, sh_batch, key)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    ref_bn = ref_state.batch_stats["conv_1"]["bn"]["norm"]["mean"]
+    sh_bn = new_state.batch_stats["conv_1"]["bn"]["norm"]["mean"]
+    np.testing.assert_allclose(np.asarray(sh_bn), np.asarray(ref_bn),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_eval_step_sharded(eight_devices):
+    mesh = create_mesh(devices=eight_devices)
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    views = 2
+    video = jax.random.normal(key, (8 * views, 4, 16, 16, 3))
+    label = jnp.arange(8) % 16
+    state = create_train_state(cfg, model, key, video, steps_per_epoch=2)
+    state = shard_state(state, mesh)
+    batch = shard_batch({"video": video, "label": label}, mesh)
+    out = jax.jit(make_eval_step(model))(state, batch)
+    assert float(out["count"]) == 8.0

@@ -299,19 +299,26 @@ class X3D(nn.Module):
     """
     arch: X3DArch
     dtype: Any = jnp.bfloat16
+    remat: bool = True   # rematerialise each res block in the backward pass
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         arch = self.arch
+        # Per-block remat bounds training memory to block-boundary
+        # activations plus one block's internals — the TPU-native analogue of
+        # fitting 16x224^2 batches that the reference spread over 4 GPUs.
+        block_cls = (
+            nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        )
         x = Stem(arch.conv1_dim, arch.temp_filter, arch.bn_momentum,
                  arch.bn_eps, self.dtype, name="conv_1")(x, train)
         for si, blocks in enumerate(arch.stages):
             for bi, spec in enumerate(blocks):
                 # stage numbering starts at 2, as in the paper and the
                 # reference's layer names (model.py:401,430)
-                x = ResBlock(spec, arch.temp_kernel, arch.bn_momentum,
-                             arch.bn_eps, self.dtype,
-                             name=f"stage{si + 2}_block{bi}")(x, train)
+                x = block_cls(spec, arch.temp_kernel, arch.bn_momentum,
+                              arch.bn_eps, self.dtype,
+                              name=f"stage{si + 2}_block{bi}")(x, train)
         x = _conv1x1(arch.conv5_dim, self.dtype, "conv_5")(x.astype(self.dtype))
         x = _BN(arch.bn_momentum, arch.bn_eps, name="bn_5")(x, train)
         x = nn.relu(x)
@@ -357,10 +364,13 @@ def init_variables(model: X3D, rng, sample, train: bool = False):
 
     Eager ``model.init`` dispatches every op individually (one small XLA
     compile per conv — minutes on a slow host); a single jitted trace
-    compiles once.
+    compiles once.  Initialisation goes through the logits path so the
+    sample batch need not be divisible by the eval view count.
     """
     import jax
 
-    return jax.jit(lambda r, x: model.init({"params": r}, x, train=train))(
-        rng, sample
-    )
+    return jax.jit(
+        lambda r, x: model.init(
+            {"params": r}, x, train=train, return_logits=True
+        )
+    )(rng, sample)

@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-_DEFAULT_IMPL = "shift"
+# "xla" default: the shift formulation wins on pure forward but its autodiff
+# transpose materialises one padded full-size tensor per tap (27x activation
+# memory — observed 24.7 GB for an X3D-M train step); the grouped-conv
+# lowering has a sane backward.  A custom-VJP shift path / Pallas kernel is
+# the planned fast path.
+_DEFAULT_IMPL = "xla"
 _VALID_IMPLS = ("shift", "xla", "pallas")
 
 
