@@ -1,0 +1,153 @@
+"""Training-loop + checkpoint/resume tests (tiny model, CPU)."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x3d_tpu import variant_config
+from x3d_tpu.models import create_model
+from x3d_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    evaluate,
+    fit,
+    make_eval_step,
+    make_train_step,
+)
+from x3d_tpu.train.hooks import Hook, LoggingHook
+
+
+def tiny_cfg():
+    cfg = variant_config("XS")
+    cfg.NETWORK.C1_CHANNELS = 4
+    cfg.NETWORK.DEPTH_FACTOR = 0.34
+    cfg.NETWORK.NUM_CLASSES = 8
+    cfg.NETWORK.DROPOUT_RATE = 0.0
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.TRAIN.EPOCHS = 4
+    cfg.TRAIN.WARMUP_EPOCHS = 1
+    return cfg
+
+
+def _batches(n_classes=8):
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(key, (4, 4, 16, 16, 3))
+    label = jnp.arange(4) % n_classes
+    while True:
+        yield {"video": video, "label": label}
+
+
+class RecorderHook(Hook):
+    def __init__(self):
+        self.epoch_starts = []
+        self.steps = []
+        self.epoch_ends = []
+        self.ended = False
+
+    def on_epoch_start(self, epoch, lr):
+        self.epoch_starts.append((epoch, lr))
+
+    def on_step(self, step, metrics):
+        self.steps.append(step)
+
+    def on_epoch_end(self, epoch, state, train_metrics, val_metrics):
+        self.epoch_ends.append((epoch, val_metrics))
+
+    def on_train_end(self):
+        self.ended = True
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    sample = next(_batches())["video"]
+    state = create_train_state(cfg, model, rng, sample, steps_per_epoch=2)
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    eval_step = jax.jit(make_eval_step(model))
+    return dict(cfg=cfg, model=model, state=state, train_step=train_step,
+                eval_step=eval_step, rng=rng)
+
+
+def test_fit_runs_epochs_and_hooks(setup):
+    rec = RecorderHook()
+    final = fit(
+        setup["cfg"], setup["state"], setup["train_step"], _batches(),
+        steps_per_epoch=2, epochs=2, rng=setup["rng"],
+        eval_step=setup["eval_step"],
+        val_batches_fn=lambda: [next(_batches())],
+        hooks=[rec, LoggingHook(log_every=1)],
+    )
+    assert [e for e, _ in rec.epoch_starts] == [0, 1]
+    assert rec.steps == [1, 2, 3, 4]
+    assert [e for e, _ in rec.epoch_ends] == [1, 2]   # 1-based like ckpt-N
+    assert rec.epoch_ends[0][1] is not None           # val ran
+    assert rec.ended
+    assert int(final.step) == 4
+
+
+def test_fit_lr_follows_schedule(setup):
+    rec = RecorderHook()
+    fit(setup["cfg"], setup["state"], setup["train_step"], _batches(),
+        steps_per_epoch=1, epochs=3, rng=setup["rng"], hooks=[rec])
+    from x3d_tpu.train import lr_for_epoch
+    for epoch, lr in rec.epoch_starts:
+        np.testing.assert_allclose(lr, float(lr_for_epoch(setup["cfg"], epoch)),
+                                   rtol=1e-6)
+
+
+def test_evaluate_aggregates_exactly(setup):
+    batches = [next(_batches()) for _ in range(3)]
+    out = evaluate(setup["eval_step"], setup["state"], batches)
+    assert out["count"] == 12.0
+    assert 0.0 <= out["acc"] <= 1.0
+    assert out["top_5_acc"] >= out["acc"]
+
+
+def test_checkpoint_save_restore_roundtrip(setup, tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state, metrics = setup["train_step"](setup["state"], next(_batches()),
+                                         setup["rng"])
+    mgr.save(1, state)
+    assert mgr.latest_epoch() == 1
+
+    fresh = setup["state"]
+    restored, epoch = mgr.restore(fresh)
+    assert epoch == 1
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["fc_2"]["bias"]),
+        np.asarray(state.params["fc_2"]["bias"]))
+    # optimizer momentum restored too
+    leaves_a = jax.tree_util.tree_leaves(restored.opt_state)
+    leaves_b = jax.tree_util.tree_leaves(state.opt_state)
+    assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+    mgr.close()
+
+
+def test_checkpoint_weights_only_keeps_fresh_optimizer(setup, tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+    state, _ = setup["train_step"](setup["state"], next(_batches()),
+                                   setup["rng"])
+    mgr.save(3, state)
+
+    fresh = setup["state"]
+    warm = mgr.restore_weights_only(fresh)
+    np.testing.assert_allclose(
+        np.asarray(warm.params["fc_2"]["bias"]),
+        np.asarray(state.params["fc_2"]["bias"]))
+    assert int(warm.step) == int(fresh.step)  # optimizer/step untouched
+    mgr.close()
+
+
+def test_restore_none_when_empty(setup, tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "empty"))
+    restored, epoch = mgr.restore(setup["state"])
+    assert epoch == 0
+    assert restored is setup["state"]
+    mgr.close()

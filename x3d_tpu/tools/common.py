@@ -1,0 +1,58 @@
+"""Shared CLI plumbing for the train/eval tools."""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from x3d_tpu import get_default_config
+from x3d_tpu.models import create_model
+from x3d_tpu.parallel import create_mesh
+
+log = logging.getLogger(__name__)
+
+
+def load_config(config_path: str, opts=None):
+    assert config_path.endswith((".yaml", ".yml")), \
+        "Please provide a path to a yaml file."
+    cfg = get_default_config()
+    cfg.merge_from_file(config_path)
+    if opts:
+        # each --opts entry is "KEY VALUE" or "KEY=VALUE"
+        flat = []
+        for o in opts:
+            flat.extend(o.replace("=", " ").split())
+        cfg.merge_from_list(flat)
+    cfg.freeze()
+    return cfg
+
+
+def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
+    """Mesh + model for the requested chip count / precision.
+
+    The reference's ``get_strategy(num_gpus)`` analog (``utils.py:144-174``):
+    ``num_chips`` bounds how many local devices join the data axis
+    (0/None = all).  Debug mode enables NaN checking and a fixed seed
+    (reference ``train.py:60-67`` used eager + determinism flags).
+    """
+    if debug:
+        jax.config.update("jax_debug_nans", True)
+        logging.getLogger().setLevel(logging.DEBUG)
+
+    devices = jax.devices()
+    if num_chips:
+        devices = devices[:num_chips]
+    model_ax = cfg.TPU.MESH_MODEL
+    data_ax = cfg.TPU.MESH_DATA
+    if data_ax == -1:
+        data_ax = max(1, len(devices) // model_ax)
+    mesh = create_mesh(data=data_ax, model=model_ax, devices=devices)
+
+    dtype = jnp.bfloat16 if precision_bf16 else jnp.float32
+    model = create_model(cfg, dtype=dtype)
+    log.info("mesh=%s devices=%d dtype=%s backend=%s",
+             dict(mesh.shape), len(devices), dtype.__name__,
+             jax.default_backend())
+    return mesh, model, dtype

@@ -1,0 +1,150 @@
+"""Training CLI — flag-compatible with the reference's ``train.py:12-35``.
+
+    python -m x3d_tpu.tools.train \
+        --config=x3d_tpu/configs/kinetics/X3D_M.yaml \
+        --train_file_pattern='/data/train-*.tfrecord' \
+        --model_dir=/tmp/x3d_m \
+        --use_tfrecord --mixed_precision
+
+Reference flags kept verbatim: config, train_file_pattern, val_file_pattern,
+model_dir, pretrained_ckpt, num_gpus (here: chips), save_checkpoints_step,
+mixed_precision (here: bf16 — no loss scaling needed on TPU, SURVEY.md C20),
+use_tfrecord, debug.  Added: --synthetic (smoke-train without data),
+--steps_per_epoch / --epochs overrides, --opts KEY VALUE config overrides.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+from absl import app, flags
+
+flags.DEFINE_string("config", None, "(Relative) path to config (.yaml) file.")
+flags.DEFINE_string("train_file_pattern", None,
+                    "TFRecord pattern or label-file path for training data.")
+flags.DEFINE_string("val_file_pattern", None,
+                    "TFRecord pattern or label-file path for validation data.")
+flags.DEFINE_string("model_dir", None,
+                    "Directory for checkpoints and TensorBoard events.")
+flags.DEFINE_string("pretrained_ckpt", None,
+                    "Checkpoint directory for warm-starting weights.")
+flags.DEFINE_integer("num_gpus", 0,
+                     "Number of chips to use (0 = all local devices).",
+                     lower_bound=0)
+flags.DEFINE_integer("save_checkpoints_step", None,
+                     "TensorBoard scalar cadence in steps.", lower_bound=0)
+flags.DEFINE_bool("mixed_precision", True, "bf16 compute (TPU native).")
+flags.DEFINE_bool("use_tfrecord", False,
+                  "Data is TFRecord shards (vs a label text file).")
+flags.DEFINE_bool("debug", False, "NaN checks, fixed seed, debug logging.")
+flags.DEFINE_bool("synthetic", False,
+                  "Train on synthetic data (no dataset needed).")
+flags.DEFINE_integer("steps_per_epoch", None,
+                     "Override DATASET_SIZE // BATCH_SIZE.")
+flags.DEFINE_integer("epochs", None, "Override TRAIN.EPOCHS.")
+flags.DEFINE_multi_string("opts", [], "Config overrides: KEY VALUE pairs.")
+
+flags.mark_flags_as_required(["config", "model_dir"])
+
+FLAGS = flags.FLAGS
+log = logging.getLogger(__name__)
+
+
+def main(_):
+    logging.basicConfig(level=logging.INFO)
+    from x3d_tpu.data import InputReader, synthetic_batches
+    from x3d_tpu.tools.common import load_config, setup_runtime
+    from x3d_tpu.parallel import shard_state
+    from x3d_tpu.train import (
+        create_train_state, make_eval_step, make_train_step)
+    from x3d_tpu.train.checkpoint import CheckpointManager
+    from x3d_tpu.train.hooks import (
+        CheckpointHook, LoggingHook, TensorBoardHook, WandbHook)
+    from x3d_tpu.train.loop import fit
+
+    if not FLAGS.synthetic and not FLAGS.train_file_pattern:
+        raise app.UsageError(
+            "--train_file_pattern is required unless --synthetic is set")
+
+    cfg = load_config(FLAGS.config, FLAGS.opts)
+    os.makedirs(FLAGS.model_dir, exist_ok=True)
+    mesh, model, dtype = setup_runtime(
+        cfg, FLAGS.num_gpus, FLAGS.mixed_precision, FLAGS.debug)
+
+    seed = 1111 if FLAGS.debug else 0  # reference train.py:64 debug seed
+    rng = jax.random.PRNGKey(seed)
+
+    batch = cfg.TRAIN.BATCH_SIZE
+    steps_per_epoch = FLAGS.steps_per_epoch or max(
+        1, cfg.TRAIN.DATASET_SIZE // batch)
+    epochs = FLAGS.epochs or cfg.TRAIN.EPOCHS
+
+    # data
+    if FLAGS.synthetic:
+        train_iter = synthetic_batches(cfg, batch, is_training=True,
+                                       dtype=dtype)
+        val_fn = None
+    else:
+        reader = InputReader(cfg, is_training=True,
+                             use_tfrecord=FLAGS.use_tfrecord)
+        train_iter = reader.device_iterator(
+            FLAGS.train_file_pattern, batch, mesh=mesh, dtype=dtype)
+        val_fn = None
+        if FLAGS.val_file_pattern:
+            val_reader = InputReader(cfg, is_training=False,
+                                     use_tfrecord=FLAGS.use_tfrecord)
+
+            def val_fn():
+                return val_reader.device_iterator(
+                    FLAGS.val_file_pattern, cfg.TEST.BATCH_SIZE, mesh=mesh,
+                    dtype=dtype)
+
+    # model state (+ resume / warm start)
+    sample = next(train_iter)
+    state = create_train_state(cfg, model, rng, sample["video"][:1],
+                               steps_per_epoch=steps_per_epoch)
+    state = shard_state(state, mesh)
+
+    ckpt = CheckpointManager(os.path.join(FLAGS.model_dir, "checkpoints"))
+    state, initial_epoch = ckpt.restore(state)
+    if initial_epoch:
+        log.info("resumed from epoch %d", initial_epoch)
+    elif FLAGS.pretrained_ckpt:
+        state = ckpt.restore_weights_only(state, FLAGS.pretrained_ckpt)
+        log.info("warm-started from %s", FLAGS.pretrained_ckpt)
+
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    eval_step = jax.jit(make_eval_step(model)) if val_fn else None
+
+    hooks = [
+        LoggingHook(log_every=FLAGS.save_checkpoints_step or 50),
+        TensorBoardHook(FLAGS.model_dir,
+                        update_freq=FLAGS.save_checkpoints_step or 50),
+        CheckpointHook(ckpt),
+        WandbHook(cfg, job_type="train"),
+    ]
+
+    def train_with_first(first, rest):
+        yield first
+        yield from rest
+
+    fit(
+        cfg,
+        state,
+        train_step,
+        train_with_first(sample, train_iter),
+        steps_per_epoch=steps_per_epoch,
+        epochs=epochs,
+        rng=rng,
+        initial_epoch=initial_epoch,
+        eval_step=eval_step,
+        val_batches_fn=val_fn,
+        hooks=hooks,
+    )
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -7,3 +7,5 @@ from x3d_tpu.train.steps import (  # noqa: F401
     make_eval_step,
     make_train_step,
 )
+from x3d_tpu.train.checkpoint import CheckpointManager  # noqa: F401
+from x3d_tpu.train.loop import evaluate, fit  # noqa: F401
