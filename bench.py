@@ -77,7 +77,7 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
-    train_batch = 16 if on_accel else 2
+    train_batch = 32 if on_accel else 2
     video = jax.random.normal(key, (train_batch, T, S, S, 3), dtype=dtype)
     label = jnp.arange(train_batch) % cfg.NETWORK.NUM_CLASSES
     batch = {"video": video, "label": label}

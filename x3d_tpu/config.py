@@ -228,6 +228,8 @@ def _build_default() -> CfgNode:
     c.TPU.COMPUTE_DTYPE = "bfloat16"     # conv compute dtype under jit
     c.TPU.MESH_DATA = -1                 # -1: all devices on the data axis
     c.TPU.MESH_MODEL = 1                 # tensor-parallel axis for the head
+    c.TPU.REMAT = "auto"                 # per-block remat: True/False/"auto"
+                                         # (auto = only 312^2 variants)
     return c
 
 

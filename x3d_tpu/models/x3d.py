@@ -299,7 +299,7 @@ class X3D(nn.Module):
     """
     arch: X3DArch
     dtype: Any = jnp.bfloat16
-    remat: bool = True   # rematerialise each res block in the backward pass
+    remat: bool = False  # rematerialise each res block in the backward pass
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -352,11 +352,20 @@ class X3D(nn.Module):
         return probs
 
 
-def create_model(cfg, dtype=None) -> X3D:
-    """Build an :class:`X3D` from a config (see ``x3d_tpu.config``)."""
+def create_model(cfg, dtype=None, remat=None) -> X3D:
+    """Build an :class:`X3D` from a config (see ``x3d_tpu.config``).
+
+    ``remat`` default ("auto"): rematerialise only for the 312^2 variants
+    (L/XL), whose activations don't fit HBM un-remat'ed at training batch
+    sizes; for XS/S/M, no-remat is ~24% faster (measured on v5e).
+    """
     if dtype is None:
         dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE) if "TPU" in cfg else jnp.bfloat16
-    return X3D(arch=build_arch(cfg), dtype=dtype)
+    if remat is None:
+        remat = cfg.TPU.REMAT if "TPU" in cfg else "auto"
+    if remat == "auto":
+        remat = cfg.DATA.TRAIN_CROP_SIZE >= 312
+    return X3D(arch=build_arch(cfg), dtype=dtype, remat=bool(remat))
 
 
 def init_variables(model: X3D, rng, sample, train: bool = False):
