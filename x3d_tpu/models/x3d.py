@@ -21,10 +21,11 @@ Architecture parity with the reference (``/root/reference/model.py``):
     to (-1, num_views, classes) and averaged over views.
 
 TPU-first design notes: NDHWC layout keeps channels on the 128-wide lane
-dimension; pointwise 1×1×1 convs are MXU matmuls; the depthwise T×3×3 convs
-go through ``x3d_tpu.ops.depthwise`` (VPU shifted-FMA by default, Pallas
-fused kernel optional); all BatchNorm math is float32 while conv compute is
-bfloat16.  Under ``pjit`` over a data-sharded batch, BN statistics are global
+dimension; 1×1×1 convs go through ``x3d_tpu.ops.pointwise`` and depthwise
+T×3×3 convs through ``x3d_tpu.ops.depthwise`` (benchmark-dispatched
+lowerings; Pallas kernels in ``ops/pallas_dw.py``); BatchNorm statistics
+are float32 while conv/normalisation compute is bfloat16.  Under ``pjit``
+over a data-sharded batch, BN statistics are global
 (= synced across replicas) — the reference kept them per-replica
 (SURVEY.md §5); this is a deliberate, documented improvement.
 """
@@ -39,6 +40,7 @@ import jax.numpy as jnp
 
 from x3d_tpu import utils
 from x3d_tpu.ops.depthwise import DepthwiseConv3D
+from x3d_tpu.ops.pointwise import PointwiseConv3D
 
 # Keras Conv3D/Dense default initialiser is glorot_uniform; matching it keeps
 # training dynamics comparable (flax's default would be lecun_normal).
@@ -132,12 +134,11 @@ def build_arch(cfg) -> X3DArch:
     )
 
 
-def _conv1x1(features: int, dtype, name: str, use_bias: bool = False) -> nn.Conv:
-    return nn.Conv(
+def _conv1x1(features: int, dtype, name: str, use_bias: bool = False):
+    # benchmark-dispatched 1x1x1 conv (see ops/pointwise.py): XLA's conv
+    # lowering leaves ~4.6x on the table for the channel-expanding matmuls
+    return PointwiseConv3D(
         features=features,
-        kernel_size=(1, 1, 1),
-        strides=(1, 1, 1),
-        padding="VALID",
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
@@ -147,14 +148,18 @@ def _conv1x1(features: int, dtype, name: str, use_bias: bool = False) -> nn.Conv
 
 
 class _BN(nn.Module):
-    """float32 BatchNorm with the reference's momentum/eps.
+    """BatchNorm with the reference's momentum/eps.
 
-    Running statistics live in the ``batch_stats`` collection; under pjit the
-    batch mean/var reductions run over the *global* (sharded) batch, giving
-    cross-replica-synced BN.
+    Statistics are always computed/stored in float32 (flax forces f32
+    reductions); ``dtype`` only sets the normalisation arithmetic — bf16
+    there saves a full f32 materialisation per BN (+12% train step,
+    measured).  Running statistics live in the ``batch_stats`` collection;
+    under pjit the batch mean/var reductions run over the *global* (sharded)
+    batch, giving cross-replica-synced BN.
     """
     momentum: float
     eps: float
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -162,10 +167,10 @@ class _BN(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.eps,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=jnp.float32,
             name="norm",
-        )(x.astype(jnp.float32))
+        )(x)
 
 
 class Stem(nn.Module):
@@ -200,7 +205,7 @@ class Stem(nn.Module):
             dtype=self.dtype,
             name="conv_t",
         )(x)
-        x = _BN(self.bn_momentum, self.bn_eps, name="bn")(x, train)
+        x = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -238,7 +243,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool):
         spec = self.spec
         out = _conv1x1(spec.inner_channels, self.dtype, "a")(x.astype(self.dtype))
-        out = _BN(self.bn_momentum, self.bn_eps, name="bn_a")(out, train)
+        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_a")(out, train)
         out = nn.relu(out)
         out = DepthwiseConv3D(
             kernel_size=(self.temp_kernel, 3, 3),
@@ -247,13 +252,13 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="b",
         )(out)
-        out = _BN(self.bn_momentum, self.bn_eps, name="bn_b")(out, train)
+        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_b")(out, train)
         if spec.use_se:
             out = SqueezeExcite(spec.se_width, spec.inner_channels,
                                 self.dtype, name="se")(out)
         out = nn.swish(out)
         out = _conv1x1(spec.out_channels, self.dtype, "c")(out.astype(self.dtype))
-        out = _BN(self.bn_momentum, self.bn_eps, name="bn_c")(out, train)
+        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_c")(out, train)
         return out
 
 
@@ -272,18 +277,16 @@ class ResBlock(nn.Module):
         out = Bottleneck(spec, self.temp_kernel, self.bn_momentum,
                          self.bn_eps, self.dtype, name="bottleneck")(x, train)
         if spec.in_channels != spec.out_channels or spec.stride != 1:
-            res = nn.Conv(
+            res = PointwiseConv3D(
                 features=spec.out_channels,
-                kernel_size=(1, 1, 1),
                 strides=(1, spec.stride, spec.stride),
-                padding="VALID",
                 use_bias=False,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 kernel_init=_KERNEL_INIT,
                 name="residual",
             )(x.astype(self.dtype))
-            res = _BN(self.bn_momentum, self.bn_eps, name="bn_r")(res, train)
+            res = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_r")(res, train)
         else:
             res = x
         return nn.relu(res.astype(jnp.float32) + out.astype(jnp.float32))
@@ -320,7 +323,7 @@ class X3D(nn.Module):
                               arch.bn_eps, self.dtype,
                               name=f"stage{si + 2}_block{bi}")(x, train)
         x = _conv1x1(arch.conv5_dim, self.dtype, "conv_5")(x.astype(self.dtype))
-        x = _BN(arch.bn_momentum, arch.bn_eps, name="bn_5")(x, train)
+        x = _BN(arch.bn_momentum, arch.bn_eps, self.dtype, name="bn_5")(x, train)
         x = nn.relu(x)
         # AdaptiveAvgPool3D((1,1,1)) == global mean over (T, H, W)
         x = jnp.mean(x, axis=(1, 2, 3))
