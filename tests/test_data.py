@@ -236,3 +236,30 @@ def test_inspector_writes_gifs(tfrecord_dir, tmp_path):
                               str(tmp_path / "out"), num_samples=2)
     assert len(paths) == 2
     assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
+
+
+def test_30_view_tta_pipeline(tfrecord_dir):
+    """X3D-XL protocol: 10 temporal views x 3 spatial crops = 30 clips/video."""
+    cfg = _cfg()
+    cfg.DATA.TRAIN_JITTER_SCALES = [40, 50]
+    cfg.DATA.TEST_CROP_SIZE = 24            # < source short side: L/C/R crops
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 10
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    reader = InputReader(cfg, is_training=False, use_tfrecord=True)
+    batch = next(reader.as_numpy(str(tfrecord_dir / "train-*"), 2))
+    assert batch["video"].shape == (2 * 30, 4, 24, 24, 3)
+    assert batch["label"].shape == (2,)
+
+
+def test_three_spatial_crops_differ(tfrecord_dir):
+    """Left/center/right crops of a wide frame must be distinct."""
+    cfg = _cfg()
+    cfg.DATA.TEST_CROP_SIZE = 24
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    reader = InputReader(cfg, is_training=False, use_tfrecord=True)
+    ds = reader(str(tfrecord_dir / "train-*"), batch_size=None)
+    clip, _ = next(iter(ds))   # (3, T, 24, 24, 3)
+    import numpy as np
+    crops = clip.numpy()
+    assert crops.shape[0] == 3
