@@ -77,7 +77,7 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
-    train_batch = 32 if on_accel else 2
+    train_batch = 64 if on_accel else 2
     video = jax.random.normal(key, (train_batch, T, S, S, 3), dtype=dtype)
     label = jnp.arange(train_batch) % cfg.NETWORK.NUM_CLASSES
     batch = {"video": video, "label": label}
@@ -101,7 +101,7 @@ def main() -> None:
     # inference: eval protocol batch (views folded into batch dim), chained
     # through a tiny additive perturbation so steps cannot overlap or fold.
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    infer_videos = 4 if on_accel else 1
+    infer_videos = 8 if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),
                                dtype=dtype)

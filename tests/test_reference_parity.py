@@ -1,0 +1,146 @@
+"""Logit-level parity against the ACTUAL reference implementation.
+
+Builds the reference Keras model from /root/reference/model.py (with its
+missing deps stubbed), copies its randomly-initialised weights into our
+param tree, and compares softmax outputs on the same input.  This is the
+strongest architecture-parity oracle available without the stripped
+checkpoint .data blobs: every conv/BN/SE/shortcut wiring, padding choice,
+and the SE global-index quirk must line up or the logits diverge.
+
+Runs on CPU; skipped when the reference tree or TF isn't present.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_model_module():
+    import os
+
+    if not os.path.exists(f"{REF}/model.py"):
+        pytest.skip("reference tree not mounted")
+    # stub the reference's deps that aren't installed: yacs (our CfgNode is
+    # API-compatible) and wandb (only imported, not used by model.py's path)
+    from x3d_tpu.config import CfgNode
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = CfgNode
+    yacs.config = yacs_config
+    sys.modules.setdefault("yacs", yacs)
+    sys.modules.setdefault("yacs.config", yacs_config)
+
+    wandb = types.ModuleType("wandb")
+    wandb_keras = types.ModuleType("wandb.keras")
+    wandb_keras.WandbCallback = object
+    wandb.keras = wandb_keras
+    sys.modules.setdefault("wandb", wandb)
+    sys.modules.setdefault("wandb.keras", wandb_keras)
+
+    sys.path.insert(0, REF)
+    try:
+        import model as ref_model  # noqa: F401  (/root/reference/model.py)
+    except Exception as e:
+        pytest.skip(f"reference model not importable under this TF: {e}")
+    finally:
+        sys.path.remove(REF)
+    return ref_model
+
+
+def _copy_bn(dst_params, dst_stats, bn_layer):
+    dst_params["scale"] = bn_layer.gamma.numpy()
+    dst_params["bias"] = bn_layer.beta.numpy()
+    dst_stats["mean"] = bn_layer.moving_mean.numpy()
+    dst_stats["var"] = bn_layer.moving_variance.numpy()
+
+
+def test_logit_parity_with_reference(ref_model_module):
+    from x3d_tpu import variant_config
+    from x3d_tpu.models import build_arch, create_model, init_variables
+    import jax
+    import jax.numpy as jnp
+
+    cfg = variant_config("XS")
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.NETWORK.DROPOUT_RATE = 0.0
+
+    def to_ns(node):
+        # Keras 3 wraps dict attributes in TrackedDict (no attribute
+        # access); hand the reference a plain namespace instead
+        if isinstance(node, dict):
+            return types.SimpleNamespace(
+                **{k: to_ns(v) for k, v in node.items()})
+        return node
+
+    tf.keras.utils.set_random_seed(0)
+    ref = ref_model_module.X3D(to_ns(cfg))
+    x_np = np.random.RandomState(0).standard_normal(
+        (2, 4, 64, 64, 3)).astype(np.float32)
+    ref_probs = ref(tf.constant(x_np), training=False).numpy()
+
+    model = create_model(cfg, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x_np))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    # ---- stem
+    params["conv_1"]["conv_s"]["kernel"] = ref.conv1.conv_s.kernel.numpy()
+    params["conv_1"]["conv_t"]["kernel"] = ref.conv1.conv_t.kernel.numpy()
+    _copy_bn(params["conv_1"]["bn"]["norm"],
+             stats["conv_1"]["bn"]["norm"], ref.conv1.bn)
+
+    # ---- stages
+    arch = build_arch(cfg)
+    for si, stage in enumerate(ref.stages):
+        blocks = stage.stage.layers
+        assert len(blocks) == len(arch.stages[si])
+        for bi, blk in enumerate(blocks):
+            key = f"stage{si + 2}_block{bi}"
+            p, s = params[key], stats[key]
+            bt = blk.bottleneck
+            p["bottleneck"]["a"]["kernel"] = bt.a.kernel.numpy()
+            p["bottleneck"]["b"]["kernel"] = bt.b.kernel.numpy()
+            p["bottleneck"]["c"]["kernel"] = bt.c.kernel.numpy()
+            _copy_bn(p["bottleneck"]["bn_a"]["norm"],
+                     s["bottleneck"]["bn_a"]["norm"], bt.bn_a)
+            _copy_bn(p["bottleneck"]["bn_b"]["norm"],
+                     s["bottleneck"]["bn_b"]["norm"], bt.bn_b)
+            _copy_bn(p["bottleneck"]["bn_c"]["norm"],
+                     s["bottleneck"]["bn_c"]["norm"], bt.bn_c)
+            has_se = hasattr(bt, "se_fc1")
+            assert has_se == arch.stages[si][bi].use_se, (si, bi)
+            if has_se:
+                se = p["bottleneck"]["se"]
+                se["se_fc1"]["kernel"] = bt.se_fc1.kernel.numpy()
+                se["se_fc1"]["bias"] = bt.se_fc1.bias.numpy()
+                se["se_fc2"]["kernel"] = bt.se_fc2.kernel.numpy()
+                se["se_fc2"]["bias"] = bt.se_fc2.bias.numpy()
+            if hasattr(blk, "residual"):
+                p["residual"]["kernel"] = blk.residual.kernel.numpy()
+                _copy_bn(p["bn_r"]["norm"], s["bn_r"]["norm"], blk.bn_r)
+
+    # ---- head
+    params["conv_5"]["kernel"] = ref.conv5.layers[0].kernel.numpy()
+    _copy_bn(params["bn_5"]["norm"], stats["bn_5"]["norm"],
+             ref.conv5.layers[1])
+    params["fc_1"]["kernel"] = ref.fc1.kernel.numpy().reshape(
+        params["fc_1"]["kernel"].shape)
+    params["fc_2"]["kernel"] = ref.fc2.kernel.numpy()
+    params["fc_2"]["bias"] = ref.fc2.bias.numpy()
+
+    ours = jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    )({"params": params, "batch_stats": stats}, jnp.asarray(x_np))
+
+    np.testing.assert_allclose(np.asarray(ours), ref_probs, atol=2e-4,
+                               rtol=1e-3)
