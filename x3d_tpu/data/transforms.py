@@ -183,6 +183,72 @@ class SpatialTransforms:
                                 shape[-1]])
 
 
+class CropBoxPlanner:
+    """Plan spatial crops in ORIGINAL pixel coordinates, before decode.
+
+    The reference decodes every full frame, bilinear-resizes the short side
+    into the jitter range, then crops (``transforms.py:195-221``).  Crop and
+    resize nearly commute: cropping the matching window from the *original*
+    frame and resizing it straight to (crop, crop) yields the same
+    augmentation distribution (pixels differ only by interpolation at the
+    crop border).  Planning the box first lets the pipeline use
+    ``tf.image.decode_and_crop_jpeg`` — decoding only the needed window and
+    resizing exactly once — a large host-CPU saving ("input pipeline never
+    the bottleneck", SURVEY.md §7).
+    """
+
+    def __init__(self, jitter_min: int, jitter_max: int, crop_size: int,
+                 is_training: bool, num_crops: int = 1,
+                 seed: int | None = None):
+        self._min = float(jitter_min)
+        self._max = float(jitter_max)
+        self._crop = int(crop_size)
+        self._is_training = is_training
+        self._num_crops = num_crops
+        self._seed = seed
+
+    def train_box(self, height, width):
+        """-> (y, x, h, w) int32 crop window in original coordinates."""
+        tf = _tf()
+        h = tf.cast(height, tf.float32)
+        w = tf.cast(width, tf.float32)
+        scale = tf.random.uniform([], self._min, self._max, tf.float32,
+                                  seed=self._seed)
+        short = tf.minimum(h, w)
+        # window side in original coords; never larger than the frame
+        side = tf.math.floor(self._crop * short / scale)
+        side = tf.minimum(side, short)
+        side = tf.maximum(side, 1.0)
+        y = tf.random.uniform([], 0.0, h - side + 1.0, tf.float32,
+                              seed=self._seed)
+        x = tf.random.uniform([], 0.0, w - side + 1.0, tf.float32,
+                              seed=self._seed)
+        return tf.cast(tf.stack([tf.math.floor(y), tf.math.floor(x),
+                                 side, side]), tf.int32)
+
+    def eval_boxes(self, height, width):
+        """-> (num_crops, 4) deterministic centre / L-C-R windows."""
+        tf = _tf()
+        h = tf.cast(height, tf.float32)
+        w = tf.cast(width, tf.float32)
+        side = tf.minimum(h, w)   # short-side resize to crop => window=short
+        boxes = []
+        for i in range(self._num_crops):
+            idx = i % 3 if self._num_crops > 1 else 1
+            yc = tf.math.ceil((h - side) / 2.0)
+            xc = tf.math.ceil((w - side) / 2.0)
+            if idx == 0:
+                y = tf.where(h > w, 0.0, yc)
+                x = tf.where(h > w, xc, 0.0)
+            elif idx == 2:
+                y = tf.where(h > w, h - side, yc)
+                x = tf.where(h > w, xc, w - side)
+            else:
+                y, x = yc, xc
+            boxes.append(tf.stack([y, x, side, side]))
+        return tf.cast(tf.stack(boxes), tf.int32)
+
+
 def normalize_tf(clip, mean, std, norm_value: float = 255.0):
     """Host-side standardisation (reference ``utils.py:42-72``); used only
     when the pipeline is asked for pre-normalised floats."""

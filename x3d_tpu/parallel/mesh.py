@@ -116,6 +116,21 @@ def shard_state(state, mesh: Mesh):
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    """Place a host batch (dict of arrays) with the batch dim on the data axis."""
+    """Place a host batch (dict of arrays) with the batch dim on the data axis.
+
+    Single-process: a plain ``device_put``.  Multi-host (``jax.distributed``
+    initialised, mesh spanning processes): each process contributes its
+    *local* batch and the result is the global sharded array — the
+    per-host-sharded feed described in SURVEY.md §5.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
+    )

@@ -39,6 +39,9 @@ flags.DEFINE_bool("mixed_precision", True, "bf16 compute (TPU native).")
 flags.DEFINE_bool("use_tfrecord", False,
                   "Data is TFRecord shards (vs a label text file).")
 flags.DEFINE_bool("debug", False, "NaN checks, fixed seed, debug logging.")
+flags.DEFINE_bool("multihost", False,
+                  "Initialize jax.distributed (multi-host TPU pod slice); "
+                  "each host reads its own shard of the input files.")
 flags.DEFINE_bool("synthetic", False,
                   "Train on synthetic data (no dataset needed).")
 flags.DEFINE_integer("steps_per_epoch", None,
@@ -68,6 +71,11 @@ def main(_):
         raise app.UsageError(
             "--train_file_pattern is required unless --synthetic is set")
 
+    if FLAGS.multihost:
+        jax.distributed.initialize()
+        log.info("multihost: process %d/%d", jax.process_index(),
+                 jax.process_count())
+
     cfg = load_config(FLAGS.config, FLAGS.opts)
     os.makedirs(FLAGS.model_dir, exist_ok=True)
     mesh, model, dtype = setup_runtime(
@@ -87,19 +95,25 @@ def main(_):
                                        dtype=dtype)
         val_fn = None
     else:
+        host_kw = dict(host_id=jax.process_index(),
+                       host_count=jax.process_count())
+        # each host feeds its slice of the global batch
+        local_batch = batch // jax.process_count()
         reader = InputReader(cfg, is_training=True,
-                             use_tfrecord=FLAGS.use_tfrecord)
+                             use_tfrecord=FLAGS.use_tfrecord, **host_kw)
         train_iter = reader.device_iterator(
-            FLAGS.train_file_pattern, batch, mesh=mesh, dtype=dtype)
+            FLAGS.train_file_pattern, local_batch, mesh=mesh, dtype=dtype)
         val_fn = None
         if FLAGS.val_file_pattern:
             val_reader = InputReader(cfg, is_training=False,
-                                     use_tfrecord=FLAGS.use_tfrecord)
+                                     use_tfrecord=FLAGS.use_tfrecord,
+                                     **host_kw)
 
             def val_fn():
                 return val_reader.device_iterator(
-                    FLAGS.val_file_pattern, cfg.TEST.BATCH_SIZE, mesh=mesh,
-                    dtype=dtype)
+                    FLAGS.val_file_pattern,
+                    max(1, cfg.TEST.BATCH_SIZE // jax.process_count()),
+                    mesh=mesh, dtype=dtype)
 
     # model state (+ resume / warm start)
     sample = next(train_iter)
