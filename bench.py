@@ -83,7 +83,9 @@ def main() -> None:
     batch = {"video": video, "label": label}
 
     state = create_train_state(cfg, model, key, video, steps_per_epoch=1000)
-    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    from x3d_tpu.utils import tpu_compiler_options
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY),
+                         compiler_options=tpu_compiler_options())
 
     # warmup / compile; establish fetch round-trip cost
     state, metrics = train_step(state, batch, key)

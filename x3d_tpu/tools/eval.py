@@ -90,7 +90,9 @@ def main(_):
         state = mgr.restore_weights_only(state)
         log.info("restored weights from epoch %d", mgr.latest_epoch())
 
-    eval_step = jax.jit(make_eval_step(model))
+    from x3d_tpu.utils import tpu_compiler_options
+    eval_step = jax.jit(make_eval_step(model),
+                        compiler_options=tpu_compiler_options())
     metrics = evaluate(eval_step, state, batches())
     log.info("eval: %s", metrics)
     print(json.dumps({k: round(float(v), 6) for k, v in metrics.items()}))

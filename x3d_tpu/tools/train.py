@@ -129,8 +129,12 @@ def main(_):
         state = ckpt.restore_weights_only(state, FLAGS.pretrained_ckpt)
         log.info("warm-started from %s", FLAGS.pretrained_ckpt)
 
-    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
-    eval_step = jax.jit(make_eval_step(model)) if val_fn else None
+    from x3d_tpu.utils import tpu_compiler_options
+    opts = tpu_compiler_options()
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY),
+                         compiler_options=opts)
+    eval_step = (jax.jit(make_eval_step(model), compiler_options=opts)
+                 if val_fn else None)
 
     hooks = [
         LoggingHook(log_every=FLAGS.save_checkpoints_step or 50),

