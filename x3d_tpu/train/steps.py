@@ -38,6 +38,7 @@ def l2_penalty(params) -> jnp.ndarray:
 
 
 def _topk_correct(logits_or_probs, labels, k: int):
+    k = min(k, logits_or_probs.shape[-1])   # fewer classes than k => top-all
     top = jax.lax.top_k(logits_or_probs, k)[1]
     return jnp.any(top == labels[:, None], axis=-1)
 
