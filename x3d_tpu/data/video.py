@@ -71,7 +71,6 @@ def decode_frames_sampled(path: str, sampler) -> np.ndarray:
     if backend == "decord":
         try:
             import decord
-            import tensorflow as tf
 
             vr = decord.VideoReader(path, ctx=decord.cpu(0))
             idx = np.asarray(sampler.indices(len(vr)))

@@ -31,8 +31,6 @@ Op cookbook (all pure JAX -> autodiff works everywhere):
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -100,7 +100,7 @@ def _fwd_kernel(xp_hbm, wk_ref, out_ref, ring, sem, *, kt, kh, kw, H, WCp,
     t = pl.program_id(1)
     nslots = _ring_io(xp_hbm, ring, sem, b, t, kt, T)
 
-    CH = 8 if H % 8 == 0 else H
+    CH = H  # whole-plane accumulation (VMEM budget raised to 100 MB)
     for h0 in range(0, H, CH):
         # kw unshifted partial sums — every read/FMA is lane-aligned
         ys = [jnp.zeros((CH, WCp), jnp.float32) for _ in range(kw)]
@@ -189,6 +189,8 @@ def _run_fwd(xp, wk, *, B, T, H, WCp, C, kt, kh, kw, out_dtype):
             pltpu.VMEM((kt + 1, Hp, WCp), xp.dtype),
             pltpu.SemaphoreType.DMA((kt + 1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
     )(xp, wk)
 

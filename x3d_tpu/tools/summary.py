@@ -13,7 +13,6 @@ and can write the same golden files for this framework::
 from __future__ import annotations
 
 import io
-from typing import Optional
 
 
 def summarize(variant: str) -> str:

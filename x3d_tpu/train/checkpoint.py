@@ -14,10 +14,9 @@ passed, arrays restore directly into their NamedSharding layout.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

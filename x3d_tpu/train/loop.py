@@ -17,7 +17,6 @@ from __future__ import annotations
 import logging
 from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
 
-import jax
 import numpy as np
 
 from x3d_tpu.train.schedule import lr_for_epoch

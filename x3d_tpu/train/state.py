@@ -8,7 +8,7 @@ The reference's state lives implicitly inside a Keras model + optimizer
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

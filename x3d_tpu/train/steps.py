@@ -16,7 +16,7 @@ compile metrics (``train.py:105-109``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
