@@ -1,0 +1,56 @@
+"""Serving engine tests (AOT-compiled inference, CPU-sized)."""
+
+import numpy as np
+import pytest
+
+from x3d_tpu import variant_config
+from x3d_tpu.serving import InferenceEngine
+
+
+def _cfg():
+    cfg = variant_config("XS")
+    cfg.NETWORK.C1_CHANNELS = 4
+    cfg.NETWORK.DEPTH_FACTOR = 0.34
+    cfg.NETWORK.NUM_CLASSES = 7
+    cfg.DATA.TEMP_DURATION = 4
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax.numpy as jnp
+
+    return InferenceEngine.random_init(_cfg(), max_videos=3,
+                                       dtype=jnp.float32)
+
+
+def test_predict_full_batch(engine):
+    clips = np.random.randint(0, 255, engine.clip_shape, np.uint8)
+    probs = engine.predict(clips)
+    assert probs.shape == (3, 7)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_predict_ragged_batch_padded(engine):
+    clips = np.random.randint(0, 255, (1 * engine.views,) +
+                              engine.clip_shape[1:], np.uint8)
+    probs = engine.predict(clips)
+    assert probs.shape == (1, 7)
+
+
+def test_top_k(engine):
+    clips = np.random.randint(0, 255, engine.clip_shape, np.uint8)
+    idx, p = engine.top_k(clips, k=3)
+    assert idx.shape == (3, 3)
+    assert (p[:, 0] >= p[:, 1]).all() and (p[:, 1] >= p[:, 2]).all()
+
+
+def test_rejects_bad_shapes(engine):
+    with pytest.raises(ValueError):
+        engine.predict(np.zeros((3,) + engine.clip_shape[1:], np.uint8))
+    too_many = np.zeros((4 * engine.views,) + engine.clip_shape[1:], np.uint8)
+    with pytest.raises(ValueError):
+        engine.predict(too_many)

@@ -1,0 +1,129 @@
+"""Serving: AOT-compiled multi-view inference for production deployment.
+
+The reference's only inference surface is ``model.evaluate`` under Keras
+(``eval.py:83-89``).  For serving, this module provides an engine that:
+
+  * ahead-of-time compiles the ensemble forward at a fixed clip-batch shape
+    (no first-request compile stall; the executable is reusable),
+  * accepts raw uint8 clips — normalisation runs on device, fused into the
+    stem conv (4x less host->device transfer than float input),
+  * pads ragged final batches to the compiled shape and un-pads results,
+  * returns per-video class probabilities and top-k predictions.
+
+Typical use::
+
+    engine = InferenceEngine.from_checkpoint(cfg, "/path/model_dir")
+    probs = engine.predict(clips_uint8)          # (videos*views, T, S, S, 3)
+    top = engine.top_k(clips_uint8, k=5)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x3d_tpu.models import create_model, init_variables
+from x3d_tpu.utils import normalize, tpu_compiler_options
+
+
+class InferenceEngine:
+    def __init__(self, cfg, variables, max_videos: int = 8, dtype=None):
+        """
+        Args:
+          cfg: experiment config (TEST.* defines the view ensemble).
+          variables: {'params', 'batch_stats'} tree.
+          max_videos: compiled batch capacity in videos (videos*views clips).
+        """
+        self._cfg = cfg
+        dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
+                          else jnp.float32)
+        self._dtype = dtype
+        self._model = create_model(cfg, dtype=dtype)
+        self._views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        self._max_videos = max_videos
+        self._variables = variables
+        mean, std = tuple(cfg.DATA.MEAN), tuple(cfg.DATA.STD)
+
+        def forward(variables, clips_u8):
+            x = normalize(clips_u8.astype(jnp.float32), mean, std)
+            return self._model.apply(variables, x.astype(dtype), train=False)
+
+        shape = (max_videos * self._views, cfg.DATA.TEMP_DURATION,
+                 cfg.DATA.TEST_CROP_SIZE, cfg.DATA.TEST_CROP_SIZE,
+                 cfg.DATA.NUM_INPUT_CHANNELS)
+        self._compiled = (
+            jax.jit(forward, compiler_options=tpu_compiler_options())
+            .lower(jax.eval_shape(lambda: variables),
+                   jax.ShapeDtypeStruct(shape, jnp.uint8))
+            .compile()
+        )
+        self.clip_shape = shape
+
+    # ------------------------------------------------------------ builders
+    @classmethod
+    def from_checkpoint(cls, cfg, model_dir: str, max_videos: int = 8,
+                        dtype=None) -> "InferenceEngine":
+        """Load the latest checkpoint written by the train CLI."""
+        import os
+
+        from x3d_tpu.train import create_train_state
+        from x3d_tpu.train.checkpoint import CheckpointManager
+
+        model = create_model(cfg, dtype=dtype or jnp.bfloat16)
+        sample = jnp.zeros((1, cfg.DATA.TEMP_DURATION, 32, 32, 3))
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
+                                   steps_per_epoch=1)
+        mgr = CheckpointManager(os.path.join(model_dir, "checkpoints"))
+        state = mgr.restore_weights_only(state)
+        mgr.close()
+        return cls(cfg, {"params": state.params,
+                         "batch_stats": state.batch_stats},
+                   max_videos=max_videos, dtype=dtype)
+
+    @classmethod
+    def random_init(cls, cfg, max_videos: int = 8,
+                    dtype=None) -> "InferenceEngine":
+        """Engine with fresh weights (smoke tests / benchmarking)."""
+        model = create_model(cfg, dtype=dtype or jnp.bfloat16)
+        x = jnp.zeros((1, cfg.DATA.TEMP_DURATION, cfg.DATA.TEST_CROP_SIZE,
+                       cfg.DATA.TEST_CROP_SIZE, 3))
+        variables = init_variables(model, jax.random.PRNGKey(0), x)
+        return cls(cfg, variables, max_videos=max_videos, dtype=dtype)
+
+    # ------------------------------------------------------------ inference
+    @property
+    def views(self) -> int:
+        return self._views
+
+    def predict(self, clips_u8: np.ndarray) -> np.ndarray:
+        """(videos*views, T, S, S, 3) uint8 -> (videos, classes) float probs.
+
+        Ragged inputs (fewer than max_videos) are padded to the compiled
+        shape and un-padded on return.
+        """
+        n_clips = clips_u8.shape[0]
+        if n_clips % self._views:
+            raise ValueError(
+                f"clip count {n_clips} not divisible by views={self._views}")
+        n_videos = n_clips // self._views
+        if n_videos > self._max_videos:
+            raise ValueError(
+                f"{n_videos} videos exceeds engine capacity "
+                f"{self._max_videos}; split the request")
+        cap = self._max_videos * self._views
+        if n_clips < cap:
+            pad = np.zeros((cap - n_clips,) + tuple(clips_u8.shape[1:]),
+                           np.uint8)
+            clips_u8 = np.concatenate([np.asarray(clips_u8), pad], axis=0)
+        probs = self._compiled(self._variables, jnp.asarray(clips_u8))
+        return np.asarray(probs[:n_videos])
+
+    def top_k(self, clips_u8: np.ndarray, k: int = 5
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (indices (videos, k), probabilities (videos, k))."""
+        probs = self.predict(clips_u8)
+        idx = np.argsort(-probs, axis=-1)[:, :k]
+        return idx, np.take_along_axis(probs, idx, axis=-1)
