@@ -160,6 +160,7 @@ def main(_):
         eval_step=eval_step,
         val_batches_fn=val_fn,
         hooks=hooks,
+        metrics_every=FLAGS.save_checkpoints_step or 50,
     )
     ckpt.close()
 

@@ -57,11 +57,18 @@ def fit(
     eval_step: Optional[Callable] = None,
     val_batches_fn: Optional[Callable[[], Iterable[dict]]] = None,
     hooks: Sequence[Hook] = (),
+    metrics_every: int = 1,
 ):
     """Run the training loop; returns the final state.
 
     ``val_batches_fn`` is called at each epoch end to produce a fresh
     validation iterator (mirrors Keras re-iterating validation_data).
+
+    ``metrics_every``: device->host metric materialisation cadence.  A host
+    fetch synchronises the async dispatch pipeline (and on remote TPU
+    runtimes costs a round trip), so production runs should fetch only at
+    the logging cadence; steps in between leave metrics on device and keep
+    host input preparation overlapped with device compute.
     """
     for epoch in range(initial_epoch, epochs):
         lr = float(np.asarray(lr_for_epoch(cfg, epoch)))
@@ -73,10 +80,11 @@ def fit(
             batch = next(train_batches)
             state, metrics = train_step(state, batch, rng)
             step = epoch * steps_per_epoch + i + 1
-            host_metrics = _to_host(metrics)
-            last_metrics = host_metrics
-            for h in hooks:
-                h.on_step(step, host_metrics)
+            if step % metrics_every == 0 or i == steps_per_epoch - 1:
+                host_metrics = _to_host(metrics)
+                last_metrics = host_metrics
+                for h in hooks:
+                    h.on_step(step, host_metrics)
 
         val_metrics = None
         if eval_step is not None and val_batches_fn is not None:

@@ -44,6 +44,13 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     TRAIN.MOMENTUM with nesterov=True; weight decay is *not* handled here —
     it enters the loss as an L2 penalty exactly as the reference's
     kernel_regularizers do (SURVEY.md Q7).
+
+    Known semantic nuance: TF's SGD folds the LR into the velocity
+    (``v = m*v - lr*g``) while optax scales after momentum accumulation
+    (``update = -lr*(g + m*trace)``).  At constant LR the trajectories are
+    identical; across an epoch's LR change they differ transiently for
+    O(1/(1-m)) steps — negligible against the 256-epoch schedule, noted for
+    exact-parity audits.
     """
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     name = cfg.TRAIN.OPTIMIZER.lower()
