@@ -151,3 +151,37 @@ def test_restore_none_when_empty(setup, tmp_path):
     assert epoch == 0
     assert restored is setup["state"]
     mgr.close()
+
+
+def test_sharded_checkpoint_roundtrip(setup, tmp_path, eight_devices):
+    """Save a mesh-sharded state; restore into a sharded template with
+    layouts preserved (sharding-aware Orbax restore)."""
+    from x3d_tpu.parallel import create_mesh, shard_state
+
+    mesh = create_mesh(data=4, model=2, devices=eight_devices)
+    state = shard_state(setup["state"], mesh)
+    mgr = CheckpointManager(str(tmp_path / "sharded"))
+    mgr.save(1, state)
+
+    template = shard_state(setup["state"], mesh)
+    restored, epoch = mgr.restore(template)
+    assert epoch == 1
+    fc1 = restored.params["fc_1"]["kernel"]
+    assert fc1.sharding.shard_shape(fc1.shape)[1] == 2048 // 2  # TP kept
+    np.testing.assert_allclose(
+        np.asarray(restored.params["fc_2"]["bias"]),
+        np.asarray(state.params["fc_2"]["bias"]))
+    mgr.close()
+
+
+def test_profile_hook_capture(setup, tmp_path):
+    """ProfileHook wraps one logging window in a jax.profiler trace."""
+    import glob
+
+    from x3d_tpu.train.hooks import ProfileHook
+
+    hook = ProfileHook(str(tmp_path / "prof"), profile_step=2)
+    fit(setup["cfg"], setup["state"], setup["train_step"], _batches(),
+        steps_per_epoch=4, epochs=1, rng=setup["rng"], hooks=[hook])
+    traces = glob.glob(str(tmp_path / "prof" / "plugins" / "profile" / "*" / "*"))
+    assert traces, "no trace files written"

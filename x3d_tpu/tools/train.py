@@ -47,6 +47,9 @@ flags.DEFINE_bool("synthetic", False,
 flags.DEFINE_integer("steps_per_epoch", None,
                      "Override DATASET_SIZE // BATCH_SIZE.")
 flags.DEFINE_integer("epochs", None, "Override TRAIN.EPOCHS.")
+flags.DEFINE_integer("profile_batch", 0,
+                     "Capture a device trace around this global step "
+                     "(reference: TensorBoard profile_batch).")
 flags.DEFINE_multi_string("opts", [], "Config overrides: KEY VALUE pairs.")
 
 flags.mark_flags_as_required(["config", "model_dir"])
@@ -64,7 +67,7 @@ def main(_):
         create_train_state, make_eval_step, make_train_step)
     from x3d_tpu.train.checkpoint import CheckpointManager
     from x3d_tpu.train.hooks import (
-        CheckpointHook, LoggingHook, TensorBoardHook, WandbHook)
+        CheckpointHook, LoggingHook, ProfileHook, TensorBoardHook, WandbHook)
     from x3d_tpu.train.loop import fit
 
     if not FLAGS.synthetic and not FLAGS.train_file_pattern:
@@ -143,6 +146,8 @@ def main(_):
         CheckpointHook(ckpt),
         WandbHook(cfg, job_type="train"),
     ]
+    if FLAGS.profile_batch:
+        hooks.append(ProfileHook(FLAGS.model_dir, FLAGS.profile_batch))
 
     def train_with_first(first, rest):
         yield first

@@ -85,6 +85,44 @@ class TensorBoardHook(Hook):
         self._writer.close()
 
 
+class ProfileHook(Hook):
+    """Capture a jax.profiler device trace around one training step.
+
+    The analog of the reference's ``TensorBoard(profile_batch=N)``
+    (``utils.py:123-126``); the trace lands in ``<log_dir>/plugins/profile``
+    and is readable by TensorBoard or ``x3d_tpu.tools.profile
+    --analyze_only``.
+    """
+
+    def __init__(self, log_dir: str, profile_step: int):
+        self._dir = log_dir
+        self._step = profile_step
+        self._active = False
+        self._done = False
+
+    def on_step(self, step, metrics):
+        # on_step fires at the metric cadence, so the trace covers the
+        # logging window that contains profile_step
+        import jax
+
+        if self._done or not self._step:
+            return
+        if not self._active and step >= self._step - 1:
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+        elif self._active:
+            jax.profiler.stop_trace()
+            self._active, self._done = False, True
+            log.info("profile trace around step %d written to %s",
+                     self._step, self._dir)
+
+    def on_train_end(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+
+
 class CheckpointHook(Hook):
     """Save the full TrainState at every epoch end (ModelCheckpoint analog)."""
 
