@@ -66,7 +66,7 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
-    train_batch = 64 if on_accel else 2
+    train_batch = 128 if on_accel else 2
     video = jax.random.normal(key, (train_batch, T, S, S, 3), dtype=dtype)
     label = jnp.arange(train_batch) % cfg.NETWORK.NUM_CLASSES
     batch = {"video": video, "label": label}
@@ -82,7 +82,7 @@ def main() -> None:
     state, metrics = train_step(state, batch, key)
     _fetch_scalar(metrics["loss"])
 
-    steps = 50 if on_accel else 3
+    steps = 30 if on_accel else 3
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, batch, key)  # state chains steps
