@@ -93,14 +93,16 @@ def main() -> None:
     # inference: eval protocol batch (views folded into batch dim), chained
     # through a tiny additive perturbation so steps cannot overlap or fold.
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    infer_videos = 8 if on_accel else 1
+    infer_videos = 16 if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),
                                dtype=dtype)
     elabel = jnp.zeros((infer_videos,), jnp.int32)
     eval_step = make_eval_step(model)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_chained(st, x):
         out = eval_step(st, {"video": x, "label": elabel})
         x = x + (out["loss_sum"] * 1e-12).astype(x.dtype)
