@@ -35,7 +35,6 @@ from typing import Iterator, Optional
 
 from x3d_tpu.data.transforms import SpatialTransforms, TemporalSampler, normalize_tf
 
-CONTEXT_FEATURES = ("video/num_frames", "video/class/label")
 SEQUENCE_FEATURE = "video"
 
 
