@@ -121,7 +121,7 @@ def main() -> None:
     result = {
         "metric": "x3d_m_train_clips_per_sec_per_chip",
         "value": round(train_cps / n_chips, 2),
-        "unit": f"clips/s/chip (train, {T}x{S}^2, bf16, {backend})",
+        "unit": f"clips/s/chip (train, {T}x{S}^2, {jnp.dtype(dtype).name}, {backend})",
         "vs_baseline": round(
             train_cps / n_chips / BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP, 3
         ),
