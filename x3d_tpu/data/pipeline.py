@@ -27,6 +27,10 @@ TPU-first differences from the reference, all documented:
 TFRecord schema is byte-compatible with the reference
 (``datasets/create_tfrecords.py:48-83``): context ``video/num_frames``,
 ``video/class/label``; sequence ``video`` = one JPEG string per frame.
+
+Note: like the reference (``dataloader.py:190``), batching drops the final
+ragged remainder even at eval — up to batch_size-1 videos per epoch are
+skipped, identical to the published evaluation protocol.
 """
 
 from __future__ import annotations
