@@ -230,6 +230,48 @@ def test_create_label_file(tmp_path):
     assert all(line.rsplit(" ", 1)[1] in ("0", "1") for line in lines)
 
 
+def test_kinetics400_vendored_metadata():
+    """The shipped K400 artifacts make the documented workflow reproducible
+    from this repo alone (reference datasets/kinetics400/)."""
+    from x3d_tpu.data.tfrecords import (kinetics400_label_map,
+                                        kinetics400_split)
+
+    lm = kinetics400_label_map()
+    assert len(lm) == 400
+    assert lm["abseiling"] == 0
+    assert sorted(lm.values()) == list(range(400))
+    val = kinetics400_split("validate")
+    test = kinetics400_split("test")
+    assert len(val) == 18010 and len(test) == 35313
+    assert {"label", "youtube_id", "time_start", "time_end"} <= set(val[0])
+
+
+def test_create_test_label_file(tmp_path):
+    """Flat test dir + annotations JSON -> 'path label' lines via the
+    vendored label map (reference kinetics400/create_label.py:42-61)."""
+    import json
+
+    from x3d_tpu.data.tfrecords import create_test_label_file
+
+    vids = tmp_path / "test_vids"
+    vids.mkdir()
+    for vid in ("aaa111", "bbb222", "zzz999"):
+        (vids / f"{vid}.mp4").write_bytes(b"x")
+    ann = {
+        "aaa111": {"annotations": {"label": "air drumming"}},
+        "bbb222": {"annotations": {"label": "abseiling"}},
+        # zzz999 missing -> warned and skipped, like the reference
+    }
+    ann_path = tmp_path / "test.json"
+    ann_path.write_text(json.dumps(ann))
+    out = tmp_path / "test.txt"
+    n = create_test_label_file(str(vids), str(out), str(ann_path))
+    assert n == 2
+    lines = dict(l.rsplit(" ", 1) for l in out.read_text().split("\n") if l)
+    assert lines[str(vids / "aaa111.mp4")] == "1"   # air_drumming
+    assert lines[str(vids / "bbb222.mp4")] == "0"   # abseiling
+
+
 def test_inspector_writes_gifs(tfrecord_dir, tmp_path):
     cfg = _cfg()
     paths = inspect_tfrecords(cfg, str(tfrecord_dir / "train-*"),

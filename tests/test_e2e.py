@@ -53,6 +53,31 @@ def _cfg():
     return cfg
 
 
+def test_eval_cli_fails_without_checkpoint(tmp_path):
+    """A typo'd --model_folder must exit non-zero, not score random init
+    (the reference hard-requires a checkpoint, eval.py:78-81)."""
+    import os
+    import subprocess
+    import sys
+
+    cfg_yaml = tmp_path / "tiny.yaml"
+    cfg_yaml.write_text(
+        "NETWORK:\n  C1_CHANNELS: 4\n  DEPTH_FACTOR: 0.34\n"
+        "  NUM_CLASSES: 3\n"
+        "DATA:\n  TEMP_DURATION: 2\n  TEST_CROP_SIZE: 32\n"
+        "TEST:\n  NUM_TEMPORAL_VIEWS: 1\n  NUM_SPATIAL_CROPS: 1\n"
+        "  BATCH_SIZE: 2\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "x3d_tpu.tools.eval", f"--cfg={cfg_yaml}",
+         f"--model_folder={tmp_path}", "--synthetic"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode != 0
+    assert "No checkpoint" in (r.stderr + r.stdout)
+
+
 def test_tfrecords_to_sharded_training(color_shards, eight_devices):
     cfg = _cfg()
     mesh = create_mesh(data=4, model=1, devices=eight_devices[:4])

@@ -53,6 +53,34 @@ def test_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), atol=1e-3)
 
 
+@pytest.mark.parametrize("kdims,strides", [
+    ((3, 3, 3), (1, 1, 1)),    # bottleneck dw, stride 1 -> Pallas kernel
+    ((5, 1, 1), (1, 1, 1)),    # stem temporal dw -> Pallas kernel
+    ((3, 3, 3), (1, 2, 2)),    # stage-entry downsampling -> XLA fallback
+])
+def test_impl_pallas_dispatch_matches_xla(kdims, strides):
+    """impl="pallas" through the public depthwise_conv3d entry point."""
+    key = jax.random.PRNGKey(0)
+    B, T, H, W, C = 2, 4, 6, 8, 6
+    x = jax.random.normal(key, (B, T, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), kdims + (1, C)) * 0.3
+    ref = depthwise_conv3d(x, w, strides, "SAME", impl="xla")
+    got = depthwise_conv3d(x, w, strides, "SAME", impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_impl_pallas_explicit_same_pads():
+    """The stem's explicit ((k//2,k//2),(0,0),(0,0)) pads equal SAME for a
+    kx1x1 kernel and must route to the Pallas kernel path."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 4, 5, 6, 6), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (5, 1, 1, 1, 6)) * 0.3
+    pads = ((2, 2), (0, 0), (0, 0))
+    ref = depthwise_conv3d(x, w, (1, 1, 1), pads, impl="xla")
+    got = depthwise_conv3d(x, w, (1, 1, 1), pads, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_dense_wrapper_shapes():
     key = jax.random.PRNGKey(0)
     B, T, H, W, C, g = 1, 3, 4, 8, 6, 2

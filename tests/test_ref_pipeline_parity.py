@@ -1,0 +1,195 @@
+"""Pixel-level parity with the ACTUAL reference input pipeline.
+
+Two oracles, both driving the reference's own code (like
+``test_reference_parity.py`` does for the model):
+
+  * **Golden-pixel eval transforms** — the reference's
+    ``TemporalTransforms`` / ``SpatialTransforms`` / ``utils.normalize``
+    (``/root/reference/transforms.py``, ``utils.py:42-72``) run eagerly on
+    real JPEG-encoded fixtures; our eval ``InputReader`` (exact path,
+    ``emit="float"``) must emit bit-identical tensors, including the
+    crop-major view ordering the reference produces after batching
+    (``dataloader.py:107-116``).
+  * **Reverse shard compatibility** — shards written by
+    ``x3d_tpu.data.tfrecords`` parsed by the *reference's*
+    ``InputReader.parse_and_decode`` (``dataloader.py:65-91``): the schema
+    contract holds in both directions.
+
+Skipped when the reference tree or TF is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import the reference's transforms + dataloader with deps stubbed."""
+    if not os.path.exists(f"{REF}/transforms.py"):
+        pytest.skip("reference tree not mounted")
+
+    from x3d_tpu.config import CfgNode
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = CfgNode
+    yacs.config = yacs_config
+    sys.modules.setdefault("yacs", yacs)
+    sys.modules.setdefault("yacs.config", yacs_config)
+
+    wandb = types.ModuleType("wandb")
+    wandb_keras = types.ModuleType("wandb.keras")
+    wandb_keras.WandbCallback = object
+    wandb.keras = wandb_keras
+    sys.modules.setdefault("wandb", wandb)
+    sys.modules.setdefault("wandb.keras", wandb_keras)
+
+    # decord (the raw-video backend) is absent in this container; the
+    # TFRecord path under test never calls it
+    decord = types.ModuleType("decord")
+    decord.VideoReader = object
+    decord.bridge = types.SimpleNamespace(set_bridge=lambda *_: None)
+    decord.cpu = lambda *_: None
+    sys.modules.setdefault("decord", decord)
+
+    sys.path.insert(0, REF)
+    try:
+        import transforms as ref_transforms
+        import dataloader as ref_dataloader
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference pipeline not importable under this TF: {e}")
+    finally:
+        sys.path.remove(REF)
+    return ref_transforms, ref_dataloader
+
+
+def _jpeg_frames(num_frames=11, h=36, w=48, seed=0):
+    """Real JPEG round-tripped fixture frames (structured, not flat noise)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(num_frames):
+        img = np.stack(
+            [(yy * 3 + i * 11) % 256, (xx * 5 + i * 7) % 256,
+             rng.randint(0, 256, (h, w))],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(img)
+    return np.stack(frames)
+
+
+def _write_fixture_shard(tmp_path, frames, label=3):
+    from x3d_tpu.data.tfrecords import write_video_array_shards
+
+    return write_video_array_shards([(frames, label)], str(tmp_path),
+                                    prefix="val")[0]
+
+
+def _eval_cfg(num_crops):
+    from x3d_tpu import get_default_config
+
+    cfg = get_default_config()
+    cfg.DATA.FRAME_RATE = 2
+    cfg.DATA.TEMP_DURATION = 4
+    cfg.DATA.TEST_CROP_SIZE = 24
+    cfg.DATA.TRAIN_JITTER_SCALES = [28, 34]
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 3
+    cfg.TEST.NUM_SPATIAL_CROPS = num_crops
+    return cfg
+
+
+@pytest.mark.parametrize("num_crops", [1, 3])
+def test_eval_pipeline_golden_pixels_vs_reference(ref_modules, tmp_path,
+                                                  num_crops):
+    """Our default (exact) eval path == the reference transforms, bit-for-bit.
+
+    The fixture decode happens once from the same JPEG bytes both sides, so
+    any divergence is in sampling/resize/crop/normalize — exactly the
+    geometry the published accuracy protocol depends on.
+    """
+    ref_transforms, _ = ref_modules
+    frames = _jpeg_frames()
+    shard = _write_fixture_shard(tmp_path, frames)
+    cfg = _eval_cfg(num_crops)
+
+    # ---- reference path, eagerly, from the same stored JPEG bytes
+    ds = tf.data.TFRecordDataset(shard, compression_type="GZIP")
+    serialized = next(iter(ds))
+    _, sequence = tf.io.parse_single_sequence_example(
+        serialized,
+        sequence_features={
+            "video": tf.io.FixedLenSequenceFeature([], tf.string)},
+    )
+    video = tf.map_fn(lambda b: tf.io.decode_jpeg(b, channels=3),
+                      sequence["video"], fn_output_signature=tf.uint8)
+
+    tt = ref_transforms.TemporalTransforms(
+        is_training=False,
+        sample_rate=cfg.DATA.FRAME_RATE,
+        num_frames=cfg.DATA.TEMP_DURATION,
+        num_views=cfg.TEST.NUM_TEMPORAL_VIEWS,
+    )
+    clips = tt.get_temporal_sample(video)        # (V, T, H, W, C) uint8
+    st = ref_transforms.SpatialTransforms(
+        jitter_min=cfg.DATA.TRAIN_JITTER_SCALES[0],
+        jitter_max=cfg.DATA.TRAIN_JITTER_SCALES[1],
+        crop_size=cfg.DATA.TEST_CROP_SIZE,
+        is_training=False,
+        num_crops=num_crops,
+    )
+    ref_clips, _ = st(clips, tf.constant(3, tf.int64),
+                      cfg.DATA.MEAN, cfg.DATA.STD)
+    # the reference batches (B, crops, V, ...) then folds into the batch dim
+    # (dataloader.py:107-116) -> crop-major per video
+    c = cfg.DATA.TEST_CROP_SIZE
+    ref_out = tf.reshape(
+        ref_clips, [-1, cfg.DATA.TEMP_DURATION, c, c, 3]).numpy()
+
+    # ---- our default eval pipeline (exact geometry), host-normalised floats
+    from x3d_tpu.data import InputReader
+
+    reader = InputReader(cfg, is_training=False, use_tfrecord=True,
+                         emit="float")
+    assert not reader._fast_crop, "eval must default to the exact path"
+    batch = next(reader.as_numpy(shard, batch_size=1))
+
+    assert batch["video"].shape == ref_out.shape
+    # identical pixels; the only tolerance is one float32 ULP from the
+    # reference's tf.function-fused normalize (measured max 4.8e-7 — the
+    # uint8 crops agree exactly, verified while writing this test)
+    np.testing.assert_allclose(batch["video"], ref_out, atol=1e-6, rtol=0)
+    assert batch["label"][0] == 3
+
+
+def test_reference_reads_our_shards(ref_modules, tmp_path):
+    """Reference ``InputReader.parse_and_decode`` consumes our writer's
+    shards: every stored frame decodes to the original pixels (JPEG
+    round-trip applied identically on both sides), labels intact."""
+    _, ref_dataloader = ref_modules
+    frames = _jpeg_frames(num_frames=5)
+    shard = _write_fixture_shard(tmp_path, frames, label=7)
+
+    cfg = _eval_cfg(1)
+    reader = ref_dataloader.InputReader(
+        types.SimpleNamespace(), is_training=False, use_tfrecord=True)
+
+    ds = tf.data.TFRecordDataset(shard, compression_type="GZIP")
+    video, label = reader.parse_and_decode(next(iter(ds)))
+    assert int(label) == 7
+    assert video.shape == (5, 36, 48, 3)
+
+    # same pixels the reference would have stored: encode with its q=90 and
+    # decode — byte-compatible schema implies identical decoded content
+    expect = tf.stack([
+        tf.io.decode_jpeg(tf.io.encode_jpeg(f, quality=90), channels=3)
+        for f in frames
+    ]).numpy()
+    np.testing.assert_array_equal(video.numpy(), expect)

@@ -111,6 +111,86 @@ def test_global_batch_stats_identical_to_single_device(eight_devices):
                                rtol=2e-4, atol=1e-6)
 
 
+def test_per_replica_bn_differs_from_global(eight_devices):
+    """TPU.SYNC_BN=False semantics (reference MirroredStrategy parity):
+
+    * shards seeing different data produce different normalisation than
+      global BN (per-group statistics really are local);
+    * running stats equal the cross-group mean of the per-group batch
+      stats (MirroredStrategy's mean variable aggregation);
+    * with identical data in every shard, per-replica == global.
+    """
+    mesh = create_mesh(data=4, model=1, devices=eight_devices[:4])
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    B = 8
+    video = jax.random.normal(key, (B, 4, 16, 16, 3))
+    label = jnp.arange(B) % 16
+    batch = {"video": video, "label": label}
+
+    sync = create_model(cfg, dtype=jnp.float32)
+    local = create_model(cfg, dtype=jnp.float32, bn_groups=4)
+    state = create_train_state(cfg, sync, key, video, steps_per_epoch=2)
+    # same params/stats drive both models (identical variable trees)
+    st_sync = shard_state(state, mesh)
+    sh_batch = shard_batch(batch, mesh)
+
+    step_sync = jax.jit(make_train_step(sync, cfg.NETWORK.WEIGHT_DECAY))
+    step_local = jax.jit(make_train_step(local, cfg.NETWORK.WEIGHT_DECAY))
+    out_sync, m_sync = step_sync(st_sync, sh_batch, key)
+    out_local, m_local = step_local(st_sync, sh_batch, key)
+
+    bn = lambda s: np.asarray(
+        s.batch_stats["conv_1"]["bn"]["norm"]["var"])
+    # heterogeneous shards: local variance of each group < global variance
+    # in general, so the running stats (and the loss) must diverge
+    assert not np.allclose(bn(out_sync), bn(out_local), rtol=1e-5)
+    assert abs(float(m_sync["loss"]) - float(m_local["loss"])) > 1e-7
+
+    # running stats = mean over the per-group batch stats: recompute on host
+    xg = np.asarray(video, np.float64).reshape(4, 2, -1, video.shape[-1])
+    g_mean = xg.mean(axis=(1, 2))
+    from x3d_tpu.models.x3d import GroupedBatchNorm
+    gbn = GroupedBatchNorm(momentum=0.9, eps=1e-5, groups=4,
+                           dtype=jnp.float32)
+    v = gbn.init({"params": key}, video, True)
+    y, mut = gbn.apply(v, video, True, mutable=["batch_stats"])
+    got_mean = np.asarray(mut["batch_stats"]["mean"])
+    np.testing.assert_allclose(got_mean, 0.1 * g_mean.mean(0), rtol=1e-4,
+                               atol=1e-6)
+    # per-group normalisation: group 0's slice normalised by its own stats
+    x0 = np.asarray(video[:2], np.float64)
+    m0 = x0.mean(axis=(0, 1, 2, 3))
+    v0 = x0.var(axis=(0, 1, 2, 3))
+    expect0 = (x0 - m0) / np.sqrt(v0 + 1e-5)
+    np.testing.assert_allclose(np.asarray(y[:2]), expect0, rtol=1e-3,
+                               atol=1e-4)
+
+    # homogeneous shards: tile one shard's data everywhere -> local == global
+    tiled = jnp.tile(video[:2], (4, 1, 1, 1, 1))
+    tb = shard_batch({"video": tiled, "label": label}, mesh)
+    s1, m1 = step_sync(st_sync, tb, key)
+    s2, m2 = step_local(st_sync, tb, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(bn(s1), bn(s2), rtol=1e-4, atol=1e-6)
+
+
+def test_sync_bn_config_wires_into_runtime(eight_devices, tmp_path):
+    """TPU.SYNC_BN=False must reach the model via setup_runtime."""
+    from x3d_tpu.tools.common import load_config, setup_runtime
+
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text("TPU:\n  SYNC_BN: False\n")
+    cfg = load_config(str(yaml))
+    mesh, model, _ = setup_runtime(cfg, 8, False, False)
+    assert model.bn_groups == mesh.shape["data"] == 8
+    yaml2 = tmp_path / "cfg2.yaml"
+    yaml2.write_text("TPU:\n  SYNC_BN: True\n")
+    _, model2, _ = setup_runtime(load_config(str(yaml2)), 8, False, False)
+    assert model2.bn_groups == 1
+
+
 def test_eval_step_sharded(eight_devices):
     mesh = create_mesh(devices=eight_devices)
     cfg = tiny_cfg()

@@ -222,9 +222,12 @@ def _build_default() -> CfgNode:
 
     # TPU-native additions (no reference counterpart; absent from its YAMLs).
     c.TPU = CfgNode()
-    c.TPU.SYNC_BN = True                 # batch stats over the global batch
-                                         # (reference MirroredStrategy keeps
-                                         # them per-replica; SURVEY.md §5)
+    c.TPU.SYNC_BN = True                 # True: batch stats over the global
+                                         # batch; False: per-replica stats
+                                         # (one BN group per data-axis shard,
+                                         # reference MirroredStrategy
+                                         # semantics — models/x3d.py
+                                         # GroupedBatchNorm, SURVEY.md §5)
     c.TPU.COMPUTE_DTYPE = "bfloat16"     # conv compute dtype under jit
     c.TPU.MESH_DATA = -1                 # -1: all devices on the data axis
     c.TPU.MESH_MODEL = 1                 # tensor-parallel axis for the head

@@ -46,7 +46,8 @@ class InputReader:
     def __init__(self, cfg, is_training: bool, use_tfrecord: bool = True,
                  emit: str = "uint8", replicate_flip_bug: bool = False,
                  host_id: int = 0, host_count: int = 1,
-                 seed: Optional[int] = None, fast_crop: bool = True):
+                 seed: Optional[int] = None,
+                 fast_crop: Optional[bool] = None):
         """
         Args:
           cfg: the experiment config (see ``x3d_tpu.config``).
@@ -62,9 +63,12 @@ class InputReader:
           fast_crop: plan the crop window in original pixel coordinates and
             decode ONLY that window (``decode_and_crop_jpeg``) with a single
             resize — ~2x host CPU saving; pixel-identical up to bilinear
-            border effects vs the reference's resize-then-crop.  Falls back
-            to the exact reference geometry for multi-spatial-crop eval or
-            when False.
+            border effects vs the reference's resize-then-crop.  Default
+            (None): enabled for *training* only — augmentation tolerates the
+            border effects, while evaluation follows the exact published
+            resize-then-crop geometry (the accuracy-parity protocol,
+            BASELINE.md).  Pass True to opt a single-crop eval pipeline in;
+            multi-spatial-crop eval always uses the exact path.
         """
         if emit not in ("uint8", "float"):
             raise ValueError(f"emit must be 'uint8' or 'float', got {emit!r}")
@@ -76,6 +80,8 @@ class InputReader:
         self._host_id = host_id
         self._host_count = host_count
         self._seed = seed
+        if fast_crop is None:
+            fast_crop = is_training
         self._fast_crop = fast_crop and use_tfrecord and (
             is_training or cfg.TEST.NUM_SPATIAL_CROPS == 1)
 
@@ -183,10 +189,14 @@ class InputReader:
 
         if not self._is_training:
             clip = self._sampler().reshape_views(clip)      # (V, T, c, c, 3)
+        # One cast convention for both emit modes: truncate the float resize
+        # output back to uint8, exactly like the exact path (and the
+        # reference, whose resize output is tf.cast back to the clip dtype —
+        # ``transforms.py:126-147``) — so fast_crop differs from the exact
+        # geometry only by the documented bilinear border effects.
+        clip = tf.cast(clip, tf.uint8)
         if self._emit == "float":
             clip = normalize_tf(clip, cfg.DATA.MEAN, cfg.DATA.STD)
-        else:
-            clip = tf.cast(tf.round(clip), tf.uint8)
         label = tf.cast(context["video/class/label"], tf.int32)
         return clip, label
 

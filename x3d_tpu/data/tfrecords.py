@@ -195,6 +195,71 @@ def resolve_test_labels(annotations_json: str) -> Dict[str, int]:
     return out
 
 
+# ------------------------------------------------- Kinetics-400 metadata
+
+# Vendored dataset metadata (a declared compatibility surface, like the
+# TFRecord schema): the reference ships these under
+# ``datasets/kinetics400/`` — label_map.json (400 class->id, underscore
+# style), validate.csv (18k rows) and test.csv (35k rows) of
+# youtube_id+time ranges — and its documented K400 workflow depends on
+# them; shipping them makes that workflow reproducible from this repo
+# alone.
+K400_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "datasets", "kinetics400")
+
+
+def kinetics400_label_map() -> Dict[str, int]:
+    """The vendored Kinetics-400 class->id map (400 entries; class names
+    use underscores for spaces, as the reference tooling expects)."""
+    with open(os.path.join(K400_DIR, "label_map.json")) as f:
+        return json.load(f)
+
+
+def kinetics400_split(split: str) -> List[Dict[str, str]]:
+    """Rows of the vendored ``validate``/``test`` split CSV: dicts with
+    label, youtube_id, time_start, time_end, split."""
+    import csv
+
+    if split not in ("validate", "test"):
+        raise ValueError(f"split must be 'validate' or 'test', got {split!r}")
+    with open(os.path.join(K400_DIR, f"{split}.csv")) as f:
+        return list(csv.DictReader(f))
+
+
+def create_test_label_file(video_dir: str, out_path: str,
+                           annotations_json: str,
+                           label_map: Optional[Dict[str, int]] = None,
+                           extensions: Tuple[str, ...] = (".mp4", ".mkv",
+                                                          ".avi", ".webm"),
+                           ) -> int:
+    """Label a FLAT directory of K400 test videos via an annotations JSON
+    (reference ``datasets/kinetics400/create_label.py:42-61``): each
+    ``<youtube_id>.<ext>`` resolves through the JSON's label string
+    (spaces -> underscores) into the label map; unknown ids are warned and
+    skipped, as in the reference.  Returns the line count."""
+    label_map = label_map or kinetics400_label_map()
+    test_labels = resolve_test_labels(annotations_json)
+    lines = []
+    for fname in sorted(os.listdir(video_dir)):
+        if not fname.lower().endswith(extensions):
+            continue
+        video_key = fname.split(".")[0]
+        label_str = test_labels.get(video_key)
+        if label_str is None:
+            log.warning("%s not found in annotations", fname)
+            continue
+        idx = label_map.get(label_str.replace(" ", "_"))
+        if idx is None:
+            log.warning("label %r of %s not in label map", label_str, fname)
+            continue
+        lines.append(f"{os.path.join(video_dir, fname)} {idx}")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return len(lines)
+
+
 # ---------------------------------------------------------------- inspector
 
 def inspect_tfrecords(cfg, file_pattern: str, out_dir: str,

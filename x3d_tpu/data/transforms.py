@@ -174,11 +174,12 @@ class SpatialTransforms:
         shape = tf.shape(out)
         v = tf.shape(clips)[0]
         t = tf.shape(clips)[1]
-        out = tf.reshape(out, [self._num_crops, v, t, shape[-3], shape[-2],
-                               shape[-1]])
-        # (crops, V, ...) -> (V, crops, ...) flattened: matches the
-        # reference's per-video view ordering after batching
-        out = tf.transpose(out, [1, 0, 2, 3, 4, 5])
+        # Flattened crop-major — (crop0,view0), (crop0,view1), …, (crop1,
+        # view0), … — bit-matching the reference, which stacks the crop list
+        # first and reshapes after batching (``transforms.py:216-221``,
+        # ``dataloader.py:107-116``).  The per-video view *grouping* is what
+        # the model's ensembling relies on; the order within a video is
+        # mean-invariant but kept identical for per-view parity checks.
         return tf.reshape(out, [self._num_crops * v, t, shape[-3], shape[-2],
                                 shape[-1]])
 

@@ -25,9 +25,11 @@ dimension; 1×1×1 convs go through ``x3d_tpu.ops.pointwise`` and depthwise
 T×3×3 convs through ``x3d_tpu.ops.depthwise`` (benchmark-dispatched
 lowerings; Pallas kernels in ``ops/pallas_dw.py``); BatchNorm statistics
 are float32 while conv/normalisation compute is bfloat16.  Under ``pjit``
-over a data-sharded batch, BN statistics are global
-(= synced across replicas) — the reference kept them per-replica
-(SURVEY.md §5); this is a deliberate, documented improvement.
+over a data-sharded batch, BN statistics default to global (= synced
+across replicas; ``TPU.SYNC_BN: True``) — a deliberate improvement over
+the reference's per-replica MirroredStrategy statistics (SURVEY.md §5);
+``TPU.SYNC_BN: False`` restores the reference semantics via
+:class:`GroupedBatchNorm` (``bn_groups`` = data-axis size).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from dataclasses import dataclass
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from x3d_tpu import utils
@@ -147,22 +150,92 @@ def _conv1x1(features: int, dtype, name: str, use_bias: bool = False):
     )
 
 
+class GroupedBatchNorm(nn.Module):
+    """Per-replica BatchNorm statistics (``TPU.SYNC_BN: False``).
+
+    The reference's MirroredStrategy runs plain ``BatchNormalization`` per
+    replica (``utils.py:160-167``, SURVEY.md §5): each replica normalises
+    with its LOCAL batch statistics, and the running statistics are
+    variable-aggregated across replicas (mean).  Under pjit there are no
+    per-replica variables, so the batch axis is split into ``groups`` equal
+    slices instead — when ``groups`` equals the mesh's data-axis size the
+    slices coincide with the batch shards and XLA keeps every group's
+    reduction local to its replica (zero ICI traffic, exactly like the
+    reference) — and the running stats take the cross-group mean.
+
+    Variable layout matches flax ``nn.BatchNorm`` (params ``scale``/
+    ``bias``, batch_stats ``mean``/``var``) so checkpoints are
+    interchangeable between sync modes; eval-mode behaviour is identical.
+    """
+    momentum: float
+    eps: float
+    groups: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if train:
+            g = self.groups
+            b = x.shape[0]
+            if b % g:
+                raise ValueError(
+                    f"batch {b} not divisible by {g} BN groups")
+            xg = x.reshape(g, b // g, -1, c).astype(jnp.float32)
+            mean = jnp.mean(xg, axis=(1, 2))                      # (g, C)
+            var = jnp.mean(jnp.square(xg), axis=(1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean.mean(0)
+                ra_var.value = m * ra_var.value + (1 - m) * var.mean(0)
+            mul = jax.lax.rsqrt(var + self.eps) * scale           # (g, C)
+            add = bias - mean * mul
+            y = (x.reshape(g, b // g, -1, c).astype(self.dtype)
+                 * mul[:, None, None, :].astype(self.dtype)
+                 + add[:, None, None, :].astype(self.dtype))
+            return y.reshape(x.shape)
+        mul = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+        add = bias - ra_mean.value * mul
+        return (x.astype(self.dtype) * mul.astype(self.dtype)
+                + add.astype(self.dtype))
+
+
 class _BN(nn.Module):
     """BatchNorm with the reference's momentum/eps.
 
     Statistics are always computed/stored in float32 (flax forces f32
     reductions); ``dtype`` only sets the normalisation arithmetic — bf16
     there saves a full f32 materialisation per BN (+12% train step,
-    measured).  Running statistics live in the ``batch_stats`` collection;
-    under pjit the batch mean/var reductions run over the *global* (sharded)
-    batch, giving cross-replica-synced BN.
+    measured).  Running statistics live in the ``batch_stats`` collection.
+
+    ``groups=1`` (``TPU.SYNC_BN: True``, the default): under pjit the batch
+    mean/var reductions run over the *global* (sharded) batch — cross-
+    replica-synced BN, a deliberate documented improvement.  ``groups>1``
+    reproduces the reference's per-replica statistics via
+    :class:`GroupedBatchNorm`.
     """
     momentum: float
     eps: float
     dtype: Any = jnp.bfloat16
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.groups > 1:
+            return GroupedBatchNorm(
+                momentum=self.momentum,
+                eps=self.eps,
+                groups=self.groups,
+                dtype=self.dtype,
+                name="norm",
+            )(x, train)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
@@ -180,6 +253,7 @@ class Stem(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -205,7 +279,8 @@ class Stem(nn.Module):
             dtype=self.dtype,
             name="conv_t",
         )(x)
-        x = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn")(x, train)
+        x = _BN(self.bn_momentum, self.bn_eps, self.dtype,
+                groups=self.bn_groups, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -238,12 +313,15 @@ class Bottleneck(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
+        bn = lambda name: _BN(self.bn_momentum, self.bn_eps, self.dtype,
+                              groups=self.bn_groups, name=name)
         out = _conv1x1(spec.inner_channels, self.dtype, "a")(x.astype(self.dtype))
-        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_a")(out, train)
+        out = bn("bn_a")(out, train)
         out = nn.relu(out)
         out = DepthwiseConv3D(
             kernel_size=(self.temp_kernel, 3, 3),
@@ -252,13 +330,13 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="b",
         )(out)
-        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_b")(out, train)
+        out = bn("bn_b")(out, train)
         if spec.use_se:
             out = SqueezeExcite(spec.se_width, spec.inner_channels,
                                 self.dtype, name="se")(out)
         out = nn.swish(out)
         out = _conv1x1(spec.out_channels, self.dtype, "c")(out.astype(self.dtype))
-        out = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_c")(out, train)
+        out = bn("bn_c")(out, train)
         return out
 
 
@@ -270,12 +348,14 @@ class ResBlock(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
         out = Bottleneck(spec, self.temp_kernel, self.bn_momentum,
-                         self.bn_eps, self.dtype, name="bottleneck")(x, train)
+                         self.bn_eps, self.dtype, bn_groups=self.bn_groups,
+                         name="bottleneck")(x, train)
         if spec.in_channels != spec.out_channels or spec.stride != 1:
             res = PointwiseConv3D(
                 features=spec.out_channels,
@@ -286,7 +366,8 @@ class ResBlock(nn.Module):
                 kernel_init=_KERNEL_INIT,
                 name="residual",
             )(x.astype(self.dtype))
-            res = _BN(self.bn_momentum, self.bn_eps, self.dtype, name="bn_r")(res, train)
+            res = _BN(self.bn_momentum, self.bn_eps, self.dtype,
+                      groups=self.bn_groups, name="bn_r")(res, train)
         else:
             res = x
         return nn.relu(res.astype(jnp.float32) + out.astype(jnp.float32))
@@ -303,6 +384,7 @@ class X3D(nn.Module):
     arch: X3DArch
     dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialise each res block in the backward pass
+    bn_groups: int = 1   # >1: per-replica BN statistics (TPU.SYNC_BN=False)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -314,16 +396,19 @@ class X3D(nn.Module):
             nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
         )
         x = Stem(arch.conv1_dim, arch.temp_filter, arch.bn_momentum,
-                 arch.bn_eps, self.dtype, name="conv_1")(x, train)
+                 arch.bn_eps, self.dtype, bn_groups=self.bn_groups,
+                 name="conv_1")(x, train)
         for si, blocks in enumerate(arch.stages):
             for bi, spec in enumerate(blocks):
                 # stage numbering starts at 2, as in the paper and the
                 # reference's layer names (model.py:401,430)
                 x = block_cls(spec, arch.temp_kernel, arch.bn_momentum,
                               arch.bn_eps, self.dtype,
+                              bn_groups=self.bn_groups,
                               name=f"stage{si + 2}_block{bi}")(x, train)
         x = _conv1x1(arch.conv5_dim, self.dtype, "conv_5")(x.astype(self.dtype))
-        x = _BN(arch.bn_momentum, arch.bn_eps, self.dtype, name="bn_5")(x, train)
+        x = _BN(arch.bn_momentum, arch.bn_eps, self.dtype,
+                groups=self.bn_groups, name="bn_5")(x, train)
         x = nn.relu(x)
         # AdaptiveAvgPool3D((1,1,1)) == global mean over (T, H, W)
         x = jnp.mean(x, axis=(1, 2, 3))
@@ -355,12 +440,16 @@ class X3D(nn.Module):
         return probs
 
 
-def create_model(cfg, dtype=None, remat=None) -> X3D:
+def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1) -> X3D:
     """Build an :class:`X3D` from a config (see ``x3d_tpu.config``).
 
     ``remat`` default ("auto"): rematerialise only for the 312^2 variants
     (L/XL), whose activations don't fit HBM un-remat'ed at training batch
     sizes; for XS/S/M, no-remat is ~24% faster (measured on v5e).
+
+    ``bn_groups``: per-replica BN group count for ``TPU.SYNC_BN: False``
+    (the caller passes the mesh's data-axis size — see
+    ``tools/common.setup_runtime``); 1 = globally synced statistics.
     """
     if dtype is None:
         dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE) if "TPU" in cfg else jnp.bfloat16
@@ -368,7 +457,8 @@ def create_model(cfg, dtype=None, remat=None) -> X3D:
         remat = cfg.TPU.REMAT if "TPU" in cfg else "auto"
     if remat == "auto":
         remat = cfg.DATA.TRAIN_CROP_SIZE >= 312
-    return X3D(arch=build_arch(cfg), dtype=dtype, remat=bool(remat))
+    return X3D(arch=build_arch(cfg), dtype=dtype, remat=bool(remat),
+               bn_groups=bn_groups)
 
 
 def init_variables(model: X3D, rng, sample, train: bool = False):

@@ -28,6 +28,7 @@ interchangeable between implementations.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -37,10 +38,23 @@ import flax.linen as nn
 # "xla" default: the shift formulation wins on pure forward but its autodiff
 # transpose materialises one padded full-size tensor per tap (27x activation
 # memory — observed 24.7 GB for an X3D-M train step); the grouped-conv
-# lowering has a sane backward.  A custom-VJP shift path / Pallas kernel is
-# the planned fast path.
+# lowering has a sane backward.  "shift_cvjp" pairs the shift forward with
+# the grouped-conv VJP via jax.custom_vjp — each direction gets the
+# formulation that lowers best in isolation (see _dw_shift_cvjp).
+#
+# Measured-and-rejected (round 2, v5e, full X3D-M train step): shift_cvjp
+# OOMs at the production batch 128 (the explicit jnp.pad temps raise peak
+# memory past what XLA's self-remat absorbs — custom_vjp walls off the
+# region from remat) and at B=96 runs 113.8 clips/s vs the XLA lowering's
+# 276.8 at B=128 — 2.4x slower end-to-end despite the faster isolated
+# forward.  Root cause (from the B=128 allocation dump): at batch 128 XLA
+# assigns batch-minormost layouts ({0,4,3,2,1:T(8,128)}) to the big
+# activations, putting the 128-wide batch on the 128-wide lane dimension —
+# ZERO lane padding, which removes the very waste the shift/dense-lane
+# formulations were built to avoid, while they force materialised padded
+# copies.  Keep "xla" unless the batch layout story changes.
 _DEFAULT_IMPL = "xla"
-_VALID_IMPLS = ("shift", "xla", "pallas")
+_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas")
 
 
 def set_default_impl(impl: str) -> None:
@@ -94,6 +108,9 @@ def depthwise_conv3d(
     if impl == "pallas":
         from x3d_tpu.ops import pallas_dw
         return pallas_dw.depthwise_conv3d_pallas(x, kernel, strides, padding)
+    if impl == "shift_cvjp":
+        pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
+        return _dw_shift_cvjp(x, kernel, tuple(strides), pads)
     return _dw_shift(x, kernel, strides, padding)
 
 
@@ -144,6 +161,38 @@ def _dw_shift(x, kernel, strides, padding):
                 term = tap * k[dt, dh, dw, 0]
                 out = term if out is None else out + term
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _dw_shift_cvjp(x, kernel, strides, pads):
+    """Shift-formulation forward with the grouped-conv backward.
+
+    The two lowerings are mathematically identical; each autodiff direction
+    gets the one that lowers best on TPU:
+
+      * forward: the unrolled shifted-FMA sum — XLA fuses all taps into a
+        single VPU pass over the padded input (one HBM read of x).
+      * backward: ``jax.vjp`` of the grouped-conv lowering — XLA's conv
+        transpose computes dx as one conv (no 27 per-tap padded tensors;
+        the shift formulation's autodiff materialises 24.7 GB on an X3D-M
+        step) and dk as one contraction.
+
+    ``pads`` must already be resolved to explicit ((lo,hi),)*3.
+    """
+    return _dw_shift(x, kernel, strides, pads)
+
+
+def _dw_shift_cvjp_fwd(x, kernel, strides, pads):
+    return _dw_shift(x, kernel, strides, pads), (x, kernel)
+
+
+def _dw_shift_cvjp_bwd(strides, pads, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(lambda x_, k_: _dw_xla(x_, k_, strides, pads), x, kernel)
+    return vjp(g)
+
+
+_dw_shift_cvjp.defvjp(_dw_shift_cvjp_fwd, _dw_shift_cvjp_bwd)
 
 
 class DepthwiseConv3D(nn.Module):

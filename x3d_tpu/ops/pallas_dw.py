@@ -271,3 +271,28 @@ def dw_conv_dense_pallas(x: jnp.ndarray, kernel: jnp.ndarray, g: int,
     rows = x.reshape(b, t, h, wg * gc)
     out = dw_conv_rows(rows, kernel, channels, tuple(kernel.shape[:3]))
     return out.reshape(b, t, h, wg, gc)
+
+
+def depthwise_conv3d_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                            strides=(1, 1, 1), padding="SAME") -> jnp.ndarray:
+    """NDHWC adapter: the ``impl="pallas"`` entry of
+    :func:`x3d_tpu.ops.depthwise.depthwise_conv3d`.
+
+    Reshapes (B, T, H, W, C) to dense rows (B, T, H, W*C), runs the
+    custom-VJP :func:`dw_conv_rows` kernel (fwd + bwd on device), and
+    restores the NDHWC view.  The row kernel supports stride 1 with SAME
+    zero padding only; strided calls (X3D's three stage-entry downsampling
+    blocks) fall back to the XLA grouped-conv lowering — identical math,
+    documented at reference ``model.py:259-267``.
+    """
+    from x3d_tpu.ops import depthwise as _dw
+
+    pads = _dw._resolve_pads(x.shape, kernel.shape[:3], strides, padding)
+    same = tuple(_dw.same_pads(x.shape[1 + i], kernel.shape[i], 1)
+                 for i in range(3))
+    if tuple(strides) != (1, 1, 1) or pads != same:
+        return _dw._dw_xla(x, kernel, strides, padding)
+    b, t, h, w, c = x.shape
+    rows = x.reshape(b, t, h, w * c)
+    out = dw_conv_rows(rows, kernel, c, tuple(kernel.shape[:3]))
+    return out.reshape(b, t, h, w, c)

@@ -51,8 +51,12 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
     mesh = create_mesh(data=data_ax, model=model_ax, devices=devices)
 
     dtype = jnp.bfloat16 if precision_bf16 else jnp.float32
-    model = create_model(cfg, dtype=dtype)
-    log.info("mesh=%s devices=%d dtype=%s backend=%s",
-             dict(mesh.shape), len(devices), dtype.__name__,
+    # TPU.SYNC_BN=False: reproduce the reference's per-replica BN statistics
+    # (MirroredStrategy semantics) by splitting the batch into one BN group
+    # per data-axis shard; default True = globally synced statistics.
+    bn_groups = 1 if cfg.TPU.SYNC_BN else mesh.shape["data"]
+    model = create_model(cfg, dtype=dtype, bn_groups=bn_groups)
+    log.info("mesh=%s devices=%d dtype=%s bn_groups=%d backend=%s",
+             dict(mesh.shape), len(devices), dtype.__name__, bn_groups,
              jax.default_backend())
     return mesh, model, dtype

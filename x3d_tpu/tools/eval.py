@@ -27,6 +27,15 @@ flags.DEFINE_bool("tfrecord", False, "Data is TFRecord shards.")
 flags.DEFINE_bool("synthetic", False, "Evaluate on synthetic data.")
 flags.DEFINE_integer("max_batches", None, "Cap evaluation batches.")
 flags.DEFINE_multi_string("opts", [], "Config overrides: KEY VALUE pairs.")
+flags.DEFINE_integer(
+    "profile_batch", 0,
+    "Capture a device trace around this (1-based) eval batch; the "
+    "reference always profiles batch 2 (eval.py:87-89) — pass 2 for parity, "
+    "0 disables.")
+flags.DEFINE_bool(
+    "allow_random_init", False,
+    "Evaluate a randomly initialised model when no checkpoint exists "
+    "(smoke tests only; the reference hard-requires a checkpoint).")
 
 flags.mark_flags_as_required(["cfg", "model_folder"])
 
@@ -47,6 +56,20 @@ def main(_):
     from x3d_tpu.train.loop import evaluate
 
     cfg = load_config(FLAGS.cfg, FLAGS.opts)
+
+    # Fail fast on a missing checkpoint, before any device/compile work: the
+    # reference fails here too (eval.py:78-81 dereferences the latest
+    # checkpoint); a typo'd --model_folder must not silently yield
+    # chance-level accuracy.
+    ckpt_dir = os.path.join(FLAGS.model_folder, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir)
+    have_ckpt = mgr.latest_epoch() is not None
+    if not have_ckpt and not FLAGS.allow_random_init:
+        mgr.close()
+        raise app.UsageError(
+            f"No checkpoint found in {ckpt_dir}; pass --allow_random_init "
+            "to evaluate an untrained model.")
+
     mesh, model, dtype = setup_runtime(cfg, FLAGS.gpus, True, False)
 
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
@@ -80,12 +103,9 @@ def main(_):
                                steps_per_epoch=1)
     state = shard_state(state, mesh)
 
-    ckpt_dir = os.path.join(FLAGS.model_folder, "checkpoints")
-    mgr = CheckpointManager(ckpt_dir)
-    if mgr.latest_epoch() is None:
-        log.warning("No checkpoint found in %s — evaluating random init "
-                    "(matches reference behaviour of requiring a ckpt).",
-                    ckpt_dir)
+    if not have_ckpt:
+        log.warning("No checkpoint in %s — evaluating RANDOM INIT "
+                    "(--allow_random_init).", ckpt_dir)
     else:
         state = mgr.restore_weights_only(state)
         log.info("restored weights from epoch %d", mgr.latest_epoch())
@@ -93,7 +113,10 @@ def main(_):
     from x3d_tpu.utils import tpu_compiler_options
     eval_step = jax.jit(make_eval_step(model),
                         compiler_options=tpu_compiler_options())
-    metrics = evaluate(eval_step, state, batches())
+    metrics = evaluate(
+        eval_step, state, batches(),
+        profile_batch=FLAGS.profile_batch,
+        profile_dir=os.path.join(FLAGS.model_folder, "eval_profile"))
     log.info("eval: %s", metrics)
     print(json.dumps({k: round(float(v), 6) for k, v in metrics.items()}))
     mgr.close()

@@ -97,7 +97,12 @@ def main(argv=None):
         T = cfg.DATA.TEMP_DURATION
         S = (cfg.DATA.TRAIN_CROP_SIZE if FLAGS.mode == "train"
              else cfg.DATA.TEST_CROP_SIZE)
-        video = jax.random.normal(key, (FLAGS.batch, T, S, S, 3),
+        # eval batches carry batch*views clips with per-video labels, like
+        # the real eval pipeline (and bench.py): the model's view-averaging
+        # reshape needs the clip count divisible by the view count.
+        views = (1 if FLAGS.mode == "train"
+                 else cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS)
+        video = jax.random.normal(key, (FLAGS.batch * views, T, S, S, 3),
                                   jnp.bfloat16)
         label = jnp.arange(FLAGS.batch) % cfg.NETWORK.NUM_CLASSES
         batch = {"video": video, "label": label}

@@ -139,12 +139,17 @@ def main(_):
     eval_step = (jax.jit(make_eval_step(model), compiler_options=opts)
                  if val_fn else None)
 
+    # WandbHook first: WANDB.TENSORBOARD patches tf.summary before the
+    # TensorBoardHook creates its writer (reference train.py:49-54 patches
+    # before any TF callback exists)
     hooks = [
+        WandbHook(cfg, job_type="train", log_dir=FLAGS.model_dir,
+                  checkpoint_dir=os.path.join(FLAGS.model_dir,
+                                              "checkpoints")),
         LoggingHook(log_every=FLAGS.save_checkpoints_step or 50),
         TensorBoardHook(FLAGS.model_dir,
                         update_freq=FLAGS.save_checkpoints_step or 50),
         CheckpointHook(ckpt),
-        WandbHook(cfg, job_type="train"),
     ]
     if FLAGS.profile_batch:
         hooks.append(ProfileHook(FLAGS.model_dir, FLAGS.profile_batch))

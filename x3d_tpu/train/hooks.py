@@ -136,11 +136,22 @@ class CheckpointHook(Hook):
 class WandbHook(Hook):
     """Weights & Biases logging, active only if wandb is importable.
 
-    Mirrors the reference's WANDB config group usage (``train.py:47-58``).
+    Mirrors the reference's WANDB config group usage (``train.py:47-58``):
+
+    * ``WANDB.TENSORBOARD: True`` patches W&B's TensorBoard sync *before*
+      ``wandb.init`` (reference ``train.py:49-54`` calls
+      ``wandb.tensorboard.patch(root_logdir=...)``) so the event files the
+      :class:`TensorBoardHook` writes are mirrored to the W&B run.
+    * ``save_weights``: upload the latest checkpoint files at each epoch end
+      — the analog of the reference's ``WandbCallback(save_weights_only=
+      True)`` (``utils.py:135-139``).
     """
 
-    def __init__(self, cfg, job_type: str = "train"):
+    def __init__(self, cfg, job_type: str = "train",
+                 log_dir: Optional[str] = None,
+                 checkpoint_dir: Optional[str] = None):
         self._run = None
+        self._ckpt_dir = checkpoint_dir
         if not cfg.WANDB.ENABLE:
             return
         try:
@@ -150,6 +161,11 @@ class WandbHook(Hook):
                         "skipping W&B logging.")
             return
         self._wandb = wandb
+        if cfg.WANDB.TENSORBOARD and log_dir:
+            try:
+                wandb.tensorboard.patch(root_logdir=log_dir)
+            except Exception as e:  # pragma: no cover - wandb internals
+                log.warning("wandb.tensorboard.patch failed: %s", e)
         self._run = wandb.init(
             job_type=job_type,
             group=cfg.WANDB.GROUP_NAME,
@@ -165,8 +181,27 @@ class WandbHook(Hook):
                             step=step)
 
     def on_epoch_end(self, epoch, state, train_metrics, val_metrics):
-        if self._run and val_metrics:
+        if not self._run:
+            return
+        if val_metrics:
             self._wandb.log({f"val/{k}": v for k, v in val_metrics.items()})
+        if self._ckpt_dir:
+            # WandbCallback(save_weights_only=True) analog: stage the new
+            # checkpoint's files into the run (uploaded on finish/offline
+            # sync; base_path keeps the relative layout)
+            import glob
+            import os
+
+            for f in glob.glob(os.path.join(self._ckpt_dir, "**"),
+                               recursive=True):
+                if os.path.isfile(f):
+                    try:
+                        self._wandb.save(
+                            f, base_path=os.path.dirname(self._ckpt_dir),
+                            policy="live")
+                    except Exception as e:  # pragma: no cover
+                        log.warning("wandb.save(%s) failed: %s", f, e)
+                        return
 
     def on_train_end(self):
         if self._run:
