@@ -1,6 +1,9 @@
-"""Benchmark: X3D-M (16x224^2) clips/sec/chip, train + infer, on real hardware.
+"""Benchmark: X3D family clips/sec/chip, train + infer, on real hardware.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"variants": {...}}.  The headline metric stays X3D-M (16x224^2, the
+reference's flagship); "variants" carries the full XS/S/M/L/XL table so the
+per-variant numbers are reproducible artifacts, not commit-message prose.
 
 Timing methodology (important on this host)
 -------------------------------------------
@@ -9,17 +12,19 @@ The TPU here is reached through a remote-execution tunnel where
 (measured: a chained 8192^3 matmul loop "finished" at 26 PFLOP/s).  Honest
 timing therefore requires (a) a data dependency chaining step i+1 to step i,
 and (b) a device->host scalar fetch of a value that depends on the last
-step, with the fetch round-trip (~30 ms) measured separately and subtracted.
+step, with the fetch round-trip (~30 ms) amortized over the step count.
 Calibration with a known-FLOPs matmul gives 155 TFLOP/s ≈ 78% of v5e bf16
 peak — sane.
 
 Protocol
 --------
-* model: X3D-M exactly as configured by configs/kinetics/X3D_M.yaml
-  (3.79 M params, 16 frames @ 224^2 — the reference's headline variant).
+* per variant: the exact configs/kinetics YAML settings (params 3.79M
+  XS/S/M, 6.21M L, 11.18M XL).
 * train: full training step (CE + L2 loss, BN stats update, SGD-nesterov,
-  dropout, per-block remat) on synthetic device-resident data, bf16 compute.
-* infer: multi-view eval forward (softmax + 10-view averaging), bf16.
+  dropout, remat policy "auto" = 312^2 only) on synthetic device-resident
+  data, bf16 compute.  Batch: 128 (XS/S/M), 32 (L/XL at 312^2).
+* infer: multi-view eval forward (softmax + view averaging) at each
+  variant's published protocol (10 temporal views XS/S/M, 10x3 L/XL).
 
 Baseline
 --------
@@ -27,14 +32,20 @@ The reference publishes no throughput numbers (SURVEY.md §6).  BASELINE.md's
 target is "exceed 4xV100 clips/sec on a v5e-8"; vs_baseline uses an
 engineering estimate of 30 train clips/s per V100 for X3D-M (no official
 number exists; stated explicitly so the ratio is interpretable).
+
+Set X3D_BENCH_VARIANTS (comma-separated, e.g. "M" or "XS,M") to restrict.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP = 30.0
+
+TRAIN_BATCH = {"XS": 128, "S": 128, "M": 128, "L": 32, "XL": 32}
+TRAIN_STEPS = {"XS": 30, "S": 30, "M": 30, "L": 10, "XL": 10}
 
 
 def _fetch_scalar(x) -> float:
@@ -44,18 +55,19 @@ def _fetch_scalar(x) -> float:
     return float(np.asarray(x).reshape(-1)[0])
 
 
-def main() -> None:
+def bench_variant(name: str, on_accel: bool) -> dict:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from x3d_tpu import variant_config
     from x3d_tpu.models import create_model
-    from x3d_tpu.train import create_train_state, make_eval_step, make_train_step
+    from x3d_tpu.train import (create_train_state, make_eval_step,
+                               make_train_step)
+    from x3d_tpu.utils import tpu_compiler_options
 
-    backend = jax.default_backend()
-    on_accel = backend in ("tpu", "gpu")
-
-    cfg = variant_config("M")
+    cfg = variant_config(name)
     if not on_accel:  # CPU smoke fallback: tiny shapes, same code path
         cfg.DATA.TEMP_DURATION = 4
         cfg.DATA.TRAIN_CROP_SIZE = 64
@@ -66,23 +78,20 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
-    train_batch = 128 if on_accel else 2
+    train_batch = TRAIN_BATCH[name] if on_accel else 2
+    steps = TRAIN_STEPS[name] if on_accel else 3
     video = jax.random.normal(key, (train_batch, T, S, S, 3), dtype=dtype)
     label = jnp.arange(train_batch) % cfg.NETWORK.NUM_CLASSES
     batch = {"video": video, "label": label}
 
     state = create_train_state(cfg, model, key, video, steps_per_epoch=1000)
-    from x3d_tpu.utils import tpu_compiler_options
     train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY),
                          compiler_options=tpu_compiler_options())
 
-    # warmup / compile (the final scalar fetch's ~25 ms round-trip is
-    # amortized over the step count; repeat fetches are host-cached so it
-    # cannot be measured separately)
+    # warmup / compile; the scalar fetch round-trip amortizes over steps
     state, metrics = train_step(state, batch, key)
     _fetch_scalar(metrics["loss"])
 
-    steps = 30 if on_accel else 3
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, batch, key)  # state chains steps
@@ -93,14 +102,12 @@ def main() -> None:
     # inference: eval protocol batch (views folded into batch dim), chained
     # through a tiny additive perturbation so steps cannot overlap or fold.
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    infer_videos = 16 if on_accel else 1
+    infer_videos = (16 if views <= 10 else 4) if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),
                                dtype=dtype)
     elabel = jnp.zeros((infer_videos,), jnp.int32)
     eval_step = make_eval_step(model)
-
-    import functools
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_chained(st, x):
@@ -117,19 +124,54 @@ def main() -> None:
     infer_dt = (time.perf_counter() - t0) / steps
     infer_cps = infer_videos * views / infer_dt
 
-    n_chips = jax.device_count()
-    result = {
-        "metric": "x3d_m_train_clips_per_sec_per_chip",
-        "value": round(train_cps / n_chips, 2),
-        "unit": f"clips/s/chip (train, {T}x{S}^2, {jnp.dtype(dtype).name}, {backend})",
-        "vs_baseline": round(
-            train_cps / n_chips / BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP, 3
-        ),
-        "infer_clips_per_sec_per_chip": round(infer_cps / n_chips, 2),
+    return {
+        "train_clips_per_sec_per_chip": round(train_cps, 2),
+        "infer_clips_per_sec_per_chip": round(infer_cps, 2),
         "train_step_ms": round(train_dt * 1e3, 2),
         "infer_step_ms": round(infer_dt * 1e3, 2),
         "train_batch": train_batch,
+        "input": f"{T}x{S}^2",
+        "views": views,
+    }
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_accel = backend in ("tpu", "gpu")
+    n_chips = jax.device_count()
+
+    names = os.environ.get("X3D_BENCH_VARIANTS", "").strip()
+    if names:
+        variant_names = [v.strip().upper() for v in names.split(",")]
+    elif on_accel:
+        variant_names = ["XS", "S", "M", "L", "XL"]
+    else:
+        variant_names = ["M"]   # CPU smoke: one variant at tiny shapes
+
+    variants = {}
+    for name in variant_names:
+        variants[name] = bench_variant(name, on_accel)
+
+    m = variants.get("M") or next(iter(variants.values()))
+    dtype_name = "bfloat16" if on_accel else "float32"
+    result = {
+        "metric": "x3d_m_train_clips_per_sec_per_chip",
+        "value": round(m["train_clips_per_sec_per_chip"] / n_chips, 2),
+        "unit": (f"clips/s/chip (train, {m['input']}, {dtype_name}, "
+                 f"{backend})"),
+        "vs_baseline": round(
+            m["train_clips_per_sec_per_chip"] / n_chips
+            / BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP, 3),
+        "infer_clips_per_sec_per_chip": round(
+            m["infer_clips_per_sec_per_chip"] / n_chips, 2),
+        "train_step_ms": m["train_step_ms"],
+        "infer_step_ms": m["infer_step_ms"],
+        "train_batch": m["train_batch"],
         "chips": n_chips,
+        "variants": variants,
     }
     print(json.dumps(result))
 

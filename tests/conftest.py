@@ -28,6 +28,11 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     import jax

@@ -151,3 +151,35 @@ def test_weight_decay_shrinks_unused_weights():
         state, _ = step(state, {"video": video, "label": label}, key)
     after = float(jnp.sum(jnp.abs(state.params["conv_1"]["conv_s"]["kernel"])))
     assert after < before
+
+
+# ------------------------------------------------------------ debug health
+
+def test_tensor_health_dump(tmp_path):
+    """FULL_HEALTH analog: per-module output health, finite by default,
+    non-finite params flagged (reference train.py:62-67)."""
+    import json
+
+    from x3d_tpu.train.debug import dump_tensor_health
+
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (2, 4, 16, 16, 3))
+    state = create_train_state(cfg, model, rng, video, steps_per_epoch=2)
+
+    out = tmp_path / "health.json"
+    report = dump_tensor_health(model, state, video, str(out))
+    assert report, "no intermediates captured"
+    assert all(v["finite_frac"] == 1.0 for v in report.values())
+    assert any("conv_1" in k for k in report)
+    on_disk = json.loads(out.read_text())
+    assert set(on_disk) == set(report)
+
+    # poison one kernel -> the report must flag non-finite outputs
+    bad_params = jax.tree_util.tree_map(lambda x: x, state.params)
+    bad_params["conv_1"]["conv_s"]["kernel"] = (
+        state.params["conv_1"]["conv_s"]["kernel"] * jnp.nan)
+    bad_state = state.replace(params=bad_params)
+    bad_report = dump_tensor_health(model, bad_state, video)
+    assert any(v["finite_frac"] < 1.0 for v in bad_report.values())

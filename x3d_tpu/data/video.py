@@ -48,7 +48,16 @@ def decode_all_frames(path: str) -> np.ndarray:
         if backend == "imageio":
             import imageio.v3 as iio
 
-            return np.asarray(iio.imread(path, plugin=None))
+            frames = np.asarray(iio.imread(path, plugin=None))
+            # normalise what the plugin returned to (N, H, W, 3) uint8:
+            # pillow decodes GIFs as RGBA / palette, single images as rank 3
+            if frames.ndim == 3:
+                frames = frames[None]
+            if frames.shape[-1] > 3:
+                frames = frames[..., :3]
+            elif frames.shape[-1] < 3:
+                frames = np.repeat(frames[..., :1], 3, axis=-1)
+            return np.ascontiguousarray(frames, dtype=np.uint8)
         raise ImportError(
             "No video decode backend available: install decord or "
             "imageio[pyav]/imageio-ffmpeg, or use the TFRecord pipeline."

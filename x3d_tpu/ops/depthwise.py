@@ -54,7 +54,7 @@ import flax.linen as nn
 # formulations were built to avoid, while they force materialised padded
 # copies.  Keep "xla" unless the batch layout story changes.
 _DEFAULT_IMPL = "xla"
-_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas")
+_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas", "bm")
 
 
 def set_default_impl(impl: str) -> None:
@@ -108,6 +108,8 @@ def depthwise_conv3d(
     if impl == "pallas":
         from x3d_tpu.ops import pallas_dw
         return pallas_dw.depthwise_conv3d_pallas(x, kernel, strides, padding)
+    if impl == "bm":
+        return _dw_bm_or_fallback(x, kernel, strides, padding)
     if impl == "shift_cvjp":
         pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
         return _dw_shift_cvjp(x, kernel, tuple(strides), pads)
@@ -161,6 +163,22 @@ def _dw_shift(x, kernel, strides, padding):
                 term = tap * k[dt, dh, dw, 0]
                 out = term if out is None else out + term
     return out
+
+
+def _dw_bm_or_fallback(x, kernel, strides, padding):
+    """Route to the batch-minor Pallas kernel (``ops/dw_batchminor.py``)
+    when it applies — stride 1, SAME-equivalent pads, batch filling whole
+    128-lane vectors — else the XLA grouped-conv lowering (the four
+    stage-entry stride-2 convs and odd batches)."""
+    from x3d_tpu.ops import dw_batchminor
+
+    pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
+    same = tuple(same_pads(x.shape[1 + i], kernel.shape[i], 1)
+                 for i in range(3))
+    full_lanes = x.shape[0] % 128 == 0 or dw_batchminor.INTERPRET
+    if tuple(strides) != (1, 1, 1) or pads != same or not full_lanes:
+        return _dw_xla(x, kernel, strides, padding)
+    return dw_batchminor.dw_conv_bm(x, kernel, tuple(kernel.shape[:3]))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -30,7 +30,7 @@ _DEFAULT_IMPL = "conv"
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    if impl not in ("auto", "einsum", "conv"):
+    if impl not in ("auto", "einsum", "conv", "mxu"):
         raise ValueError(impl)
     _DEFAULT_IMPL = impl
 
@@ -41,6 +41,19 @@ def pointwise_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
     k2 = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
     cin, cout = k2.shape
     impl = impl or _DEFAULT_IMPL
+    if impl == "mxu":
+        # batch-minor Pallas MXU kernel (ops/pw_batchminor.py): only for
+        # rank-5 bulk activations with whole-128-lane batches; SE / head
+        # 1x1x1 convs (spatial 1) and odd batches use the XLA path
+        from x3d_tpu.ops import pw_batchminor
+
+        spatial = 1
+        for d in x.shape[1:-1]:
+            spatial *= d
+        if (x.ndim == 5 and spatial > 1
+                and (x.shape[0] % 128 == 0 or pw_batchminor.INTERPRET)):
+            return pw_batchminor.pw_conv_bm(x, k2.astype(x.dtype))
+        impl = "conv"
     if impl == "auto":
         impl = "einsum" if cout >= cin else "conv"
     if impl == "einsum":

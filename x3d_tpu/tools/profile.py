@@ -50,17 +50,29 @@ def analyze_trace(trace_dir: str, top: int = 15) -> str:
                 return f"{kind} k={kt}{kh}{kw} io={i}->{o}"
         return "other"
 
+    def direction(e):
+        # op_name: "jit(train_step)/jvp(X3D)/..." = forward,
+        # ".../transpose(jvp(X3D))/..." = backward
+        name = e["args"].get("tf_op", "") + e["args"].get("long_name", "")
+        if "transpose(jvp" in name:
+            return "bwd"
+        if "jvp(" in name or "jit(" in name:
+            return "fwd"
+        return "?"
+
     by_conv = collections.Counter()
     for e in dev:
         if e["args"]["hlo_category"] == "convolution fusion":
-            by_conv[classify_conv(e["args"].get("long_name", ""))] += e["dur"]
+            key = (classify_conv(e["args"].get("long_name", "")),
+                   direction(e))
+            by_conv[key] += e["dur"]
 
     lines = ["=== device time by HLO category (ms) ==="]
     for c, d in by_cat.most_common():
         lines.append(f"{d / 1e3:9.2f}  {c}")
-    lines.append("=== convolution time by kernel ===")
-    for k, d in by_conv.most_common(top):
-        lines.append(f"{d / 1e3:9.2f}  {k}")
+    lines.append("=== convolution time by kernel (fwd/bwd) ===")
+    for (k, direc), d in by_conv.most_common(top):
+        lines.append(f"{d / 1e3:9.2f}  {direc:3s}  {k}")
     return "\n".join(lines)
 
 

@@ -132,6 +132,15 @@ def main(_):
         state = ckpt.restore_weights_only(state, FLAGS.pretrained_ckpt)
         log.info("warm-started from %s", FLAGS.pretrained_ckpt)
 
+    if FLAGS.debug:
+        # FULL_HEALTH analog (reference train.py:62-67): per-module output
+        # health of the first batch, dumped next to the checkpoints
+        from x3d_tpu.train.debug import dump_tensor_health
+
+        dump_tensor_health(
+            model, state, sample["video"],
+            os.path.join(FLAGS.model_dir, "debug_health.json"))
+
     from x3d_tpu.utils import tpu_compiler_options
     opts = tpu_compiler_options()
     train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY),
