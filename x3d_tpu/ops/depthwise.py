@@ -54,7 +54,7 @@ import flax.linen as nn
 # formulations were built to avoid, while they force materialised padded
 # copies.  Keep "xla" unless the batch layout story changes.
 _DEFAULT_IMPL = "xla"
-_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas", "bm")
+_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas", "bm", "xbwd")
 
 
 def set_default_impl(impl: str) -> None:
@@ -113,6 +113,13 @@ def depthwise_conv3d(
     if impl == "shift_cvjp":
         pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
         return _dw_shift_cvjp(x, kernel, tuple(strides), pads)
+    if impl == "xbwd":
+        pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
+        same = tuple(same_pads(x.shape[1 + i], kernel.shape[i], 1)
+                     for i in range(3))
+        if tuple(strides) != (1, 1, 1) or pads != same:
+            return _dw_xla(x, kernel, strides, padding)
+        return _dw_xbwd(x, kernel)
     return _dw_shift(x, kernel, strides, padding)
 
 
@@ -179,6 +186,72 @@ def _dw_bm_or_fallback(x, kernel, strides, padding):
     if tuple(strides) != (1, 1, 1) or pads != same or not full_lanes:
         return _dw_xla(x, kernel, strides, padding)
     return dw_batchminor.dw_conv_bm(x, kernel, tuple(kernel.shape[:3]))
+
+
+@jax.custom_vjp
+def _dw_xbwd(x, kernel):
+    """XLA forward conv with a hand-written backward (stride 1, SAME).
+
+    Measured-and-rejected (round 2, v5e, full X3D-M train step, B=128):
+    160 clips/s vs the XLA lowering's 277.  The hypothesis was that XLA's
+    multi-output fusion would collapse the 27 dk multiply-reduces into one
+    traversal of (x, g); the profile shows it does NOT (the reduces have
+    per-tap slice offsets) — they compile to ~420 ms/step of separate loop
+    fusions, each re-reading both operands.  Kept as a documented dispatch
+    option; the structural fix is a Pallas kernel that streams (x, g) once
+    and accumulates all taps (see ops/dw_fused.py).
+
+      * dx = depthwise_conv(g, spatially flipped kernel) — the forward op
+        on the cotangent (fine).
+      * dk[tap, c] = sum_{b,t,h,w} x_shifted * g — the part XLA cannot
+        lower to one pass.
+    """
+    return _dw_xla(x, kernel, (1, 1, 1), "SAME")
+
+
+def _dw_xbwd_fwd(x, kernel):
+    return _dw_xbwd(x, kernel), (x, kernel)
+
+
+def _dw_xbwd_bwd(res, g):
+    x, kernel = res
+    kt, kh, kw = kernel.shape[:3]
+    dx = _dw_xla(g, kernel[::-1, ::-1, ::-1], (1, 1, 1), "SAME")
+
+    lo = (kt - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    dims = x.shape[1:4]
+
+    def overlap(size, off):
+        # x index = g index + off; clip both slices to the valid overlap
+        xs = max(0, off)
+        gs = max(0, -off)
+        n = size - abs(off)
+        return xs, gs, n
+
+    taps = []
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw_ in range(kw):
+                offs = (dt - lo[0], dh - lo[1], dw_ - lo[2])
+                sl = [overlap(dims[i], offs[i]) for i in range(3)]
+                xv = jax.lax.slice(
+                    x,
+                    (0, sl[0][0], sl[1][0], sl[2][0], 0),
+                    (x.shape[0], sl[0][0] + sl[0][2], sl[1][0] + sl[1][2],
+                     sl[2][0] + sl[2][2], x.shape[4]))
+                gv = jax.lax.slice(
+                    g,
+                    (0, sl[0][1], sl[1][1], sl[2][1], 0),
+                    (g.shape[0], sl[0][1] + sl[0][2], sl[1][1] + sl[1][2],
+                     sl[2][1] + sl[2][2], g.shape[4]))
+                taps.append(jnp.sum(
+                    xv.astype(jnp.float32) * gv.astype(jnp.float32),
+                    axis=(0, 1, 2, 3)))
+    dk = jnp.stack(taps).reshape(kt, kh, kw, 1, x.shape[4])
+    return dx, dk.astype(kernel.dtype)
+
+
+_dw_xbwd.defvjp(_dw_xbwd_fwd, _dw_xbwd_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
