@@ -233,6 +233,10 @@ def _build_default() -> CfgNode:
     c.TPU.MESH_MODEL = 1                 # tensor-parallel axis for the head
     c.TPU.REMAT = "auto"                 # per-block remat: True/False/"auto"
                                          # (auto = only 312^2 variants)
+    c.TPU.FUSED_DW = "auto"              # fused BN+ReLU+depthwise Pallas
+                                         # kernel (ops/dw_fused.py):
+                                         # True/False/"auto" (auto = TPU,
+                                         # 128-lane batches, single chip)
     return c
 
 

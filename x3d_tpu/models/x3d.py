@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from x3d_tpu import utils
+from x3d_tpu.ops import dw_fused
 from x3d_tpu.ops.depthwise import DepthwiseConv3D
 from x3d_tpu.ops.pointwise import PointwiseConv3D
 
@@ -137,15 +138,19 @@ def build_arch(cfg) -> X3DArch:
     )
 
 
-def _conv1x1(features: int, dtype, name: str, use_bias: bool = False):
-    # benchmark-dispatched 1x1x1 conv (see ops/pointwise.py): XLA's conv
-    # lowering leaves ~4.6x on the table for the channel-expanding matmuls
+def _conv1x1(features: int, dtype, name: str, use_bias: bool = False,
+             out_pad: int = 0, in_pad: int = 0):
+    # benchmark-dispatched 1x1x1 conv (see ops/pointwise.py); out_pad/in_pad
+    # carry the fused path's sublane-aligned channel tiles (zero-padded
+    # weights, unpadded parameters)
     return PointwiseConv3D(
         features=features,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
         kernel_init=_KERNEL_INIT,
+        out_pad=out_pad,
+        in_pad=in_pad,
         name=name,
     )
 
@@ -207,6 +212,51 @@ class GroupedBatchNorm(nn.Module):
                 + add.astype(self.dtype))
 
 
+class _BNVars(nn.Module):
+    """Declares ``nn.BatchNorm``-compatible variables and returns normalize
+    coefficients (mul, add) instead of applying them — the variable-owning
+    half of BatchNorm for the fused bottleneck path, where normalisation is
+    applied inside the Pallas kernel (bn_a) or fused into consumers (bn_b).
+
+    Variable names/shapes/inits are identical to ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``), so checkpoints are
+    interchangeable between the fused and unfused paths.
+    """
+    momentum: float
+    eps: float
+
+    @nn.compact
+    def __call__(self, c: int, stats, train: bool):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if train:
+            mean, var = stats
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = jax.lax.rsqrt(var + self.eps) * scale
+        return mul, bias - mean * mul
+
+
+class _DWKernel(nn.Module):
+    """Declares the depthwise kernel parameter (identical name/shape/init
+    to :class:`~x3d_tpu.ops.depthwise.DepthwiseConv3D`) for the fused path,
+    which consumes the raw taps rather than running the conv module."""
+    kernel_size: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, channels: int):
+        return self.param("kernel", _KERNEL_INIT,
+                          self.kernel_size + (1, channels), jnp.float32)
+
+
 class _BN(nn.Module):
     """BatchNorm with the reference's momentum/eps.
 
@@ -227,7 +277,24 @@ class _BN(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, stats=None, coefs: bool = False,
+                 c: int = None):
+        if coefs:
+            # fused-path mode: return (mul, add) f32 normalize coefficients
+            # without applying them.  ``stats``: (mean, var) from the fused
+            # kernel's sums, or None to compute them from x (train) / use
+            # running stats (eval).  Requires groups == 1 (the fused path
+            # is gated off for per-replica BN).
+            assert self.groups == 1
+            if train and stats is None:
+                x32 = x.astype(jnp.float32)
+                mean = jnp.mean(x32, axis=(0, 1, 2, 3))
+                var = jnp.mean(x32 * x32, axis=(0, 1, 2, 3)) - mean * mean
+                stats = (mean, var)
+            if c is None:
+                c = x.shape[-1] if x is not None else stats[0].shape[0]
+            return _BNVars(self.momentum, self.eps, name="norm")(
+                c, stats, train)
         if self.groups > 1:
             return GroupedBatchNorm(
                 momentum=self.momentum,
@@ -293,15 +360,21 @@ class SqueezeExcite(nn.Module):
     width: int
     channels: int
     dtype: Any = jnp.bfloat16
+    gate_pad: int = 0    # zero-pad the gate to a channel-tile-padded x
 
     @nn.compact
-    def __call__(self, x):
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
+    def __call__(self, x, pooled=None):
+        if pooled is None:
+            pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3),
+                              keepdims=True)
         s = _conv1x1(self.width, self.dtype, "se_fc1", use_bias=True)(
             pooled.astype(self.dtype))
         s = nn.relu(s)
         s = _conv1x1(self.channels, self.dtype, "se_fc2", use_bias=True)(s)
         s = nn.sigmoid(s.astype(jnp.float32))
+        if self.gate_pad:
+            s = jax.lax.optimization_barrier(
+                jnp.pad(s, ((0, 0),) * 4 + ((0, self.gate_pad),)))
         return x * s.astype(x.dtype)
 
 
@@ -320,22 +393,102 @@ class Bottleneck(nn.Module):
         spec = self.spec
         bn = lambda name: _BN(self.bn_momentum, self.bn_eps, self.dtype,
                               groups=self.bn_groups, name=name)
-        out = _conv1x1(spec.inner_channels, self.dtype, "a")(x.astype(self.dtype))
-        out = bn("bn_a")(out, train)
-        out = nn.relu(out)
-        out = DepthwiseConv3D(
-            kernel_size=(self.temp_kernel, 3, 3),
-            strides=(1, spec.stride, spec.stride),
-            padding="SAME",
-            dtype=self.dtype,
-            name="b",
-        )(out)
-        out = bn("bn_b")(out, train)
-        if spec.use_se:
-            out = SqueezeExcite(spec.se_width, spec.inner_channels,
-                                self.dtype, name="se")(out)
+        C = spec.inner_channels
+        seg = dw_fused.segment_mode(x.shape[0], spec.stride, self.bn_groups,
+                                    self.temp_kernel)
+        # Fused segment modes DMA / feed the batch-minor (T,H,W,C,B) view,
+        # which wants the sublane (C) extent tile-aligned: conv "a" emits
+        # the padded tile via zero weight columns (no pad pass), conv "c"
+        # consumes it via zero weight rows.  BatchNorm variables stay (C,)
+        # via the coefs-mode _BN (identical tree to the unfused path).
+        pad = (-C) % 8 if seg != "off" else 0
+        Cp = C + pad
+        out = _conv1x1(C, self.dtype, "a", out_pad=pad)(x.astype(self.dtype))
+        if seg != "off":
+            Bn, Tn, Hn, Wn = out.shape[:4]
+            stats_a = None
+            if train:
+                x32 = out.astype(jnp.float32)
+                # barrier the (Cp,) stat vectors before slicing to C: XLA
+                # otherwise pushes the slice through the reduces into the
+                # activations' cotangents, and its rewrite of a sliced
+                # depthwise weight-grad conv is invalid (batch-group
+                # mismatch at compile time)
+                mean_a = jax.lax.optimization_barrier(
+                    jnp.mean(x32, axis=(0, 1, 2, 3)))[:C]
+                var_a = (jax.lax.optimization_barrier(
+                    jnp.mean(x32 * x32, axis=(0, 1, 2, 3)))[:C]
+                    - mean_a * mean_a)
+                stats_a = (mean_a, var_a)
+            mul_a, add_a = bn("bn_a")(None, train, stats=stats_a,
+                                      coefs=True, c=C)
+            kernel = _DWKernel((self.temp_kernel, 3, 3), name="b")(C)
+            # the barrier stops XLA pushing the dk-cotangent slice (from the
+            # pad transpose) into the depthwise weight-grad conv, where its
+            # rewrite produces an invalid batch-group conv at compile time
+            kernel = jax.lax.optimization_barrier(
+                jnp.pad(kernel, ((0, 0),) * 4 + ((0, pad),)))
+            if seg == "pallas":
+                # bn_a-normalize + ReLU + depthwise conv + bn_b statistics
+                # (+ SE pool) in one Pallas pass — see ops/dw_fused.py.
+                a_cb = jnp.broadcast_to(
+                    jnp.pad(mul_a, (0, pad), constant_values=1.0)[:, None],
+                    (Cp, Bn))
+                b_cb = jnp.broadcast_to(jnp.pad(add_a, (0, pad))[:, None],
+                                        (Cp, Bn))
+                y, p, s2 = dw_fused.dw_bn_act_conv(out, a_cb, b_cb, kernel)
+            else:
+                # "aligned": same layout/BN structure, XLA dw emitter (which
+                # runs near the VPU-issue bound); XLA fuses the affine+ReLU
+                # into the conv's input read and the sums into its epilogue.
+                u = nn.relu(
+                    out * jnp.pad(mul_a, (0, pad),
+                                  constant_values=1.0).astype(self.dtype)
+                    + jnp.pad(add_a, (0, pad)).astype(self.dtype))
+                from x3d_tpu.ops.depthwise import depthwise_conv3d
+                y = depthwise_conv3d(u, kernel.astype(self.dtype))
+                y32 = y.astype(jnp.float32)
+                p = jnp.transpose(jnp.sum(y32, axis=(1, 2, 3)))
+                s2 = jnp.transpose(jnp.sum(y32 * y32, axis=(1, 2, 3)))
+            p = jax.lax.optimization_barrier(p)
+            s2 = jax.lax.optimization_barrier(s2)
+            n = Bn * Tn * Hn * Wn
+            mean_b = p.sum(axis=1)[:C] / n
+            var_b = s2.sum(axis=1)[:C] / n - mean_b * mean_b
+            mul_b, add_b = bn("bn_b")(None, train, stats=(mean_b, var_b),
+                                      coefs=True, c=C)
+            # multiplier pads are 1 (not 0): an all-zero broadcast column
+            # invites XLA to slice the conv output to C channels and then
+            # build an invalid batch-group weight-grad conv; pad channels
+            # are zero regardless because the padded kernel taps are zero.
+            out = (y.astype(self.dtype)
+                   * jnp.pad(mul_b, (0, pad),
+                             constant_values=1.0).astype(self.dtype)
+                   + jnp.pad(add_b, (0, pad)).astype(self.dtype))
+            if spec.use_se:
+                pooled = (mul_b[:, None] * (p[:C] / (Tn * Hn * Wn))
+                          + add_b[:, None])
+                pooled = jnp.transpose(pooled).reshape(Bn, 1, 1, 1, C)
+                out = SqueezeExcite(spec.se_width, C, self.dtype,
+                                    gate_pad=pad, name="se")(
+                    out, pooled=pooled)
+        else:
+            out = bn("bn_a")(out, train)
+            out = nn.relu(out)
+            out = DepthwiseConv3D(
+                kernel_size=(self.temp_kernel, 3, 3),
+                strides=(1, spec.stride, spec.stride),
+                padding="SAME",
+                dtype=self.dtype,
+                name="b",
+            )(out)
+            out = bn("bn_b")(out, train)
+            if spec.use_se:
+                out = SqueezeExcite(spec.se_width, C, self.dtype,
+                                    name="se")(out)
         out = nn.swish(out)
-        out = _conv1x1(spec.out_channels, self.dtype, "c")(out.astype(self.dtype))
+        out = _conv1x1(spec.out_channels, self.dtype, "c", in_pad=pad)(
+            out.astype(self.dtype))
         out = bn("bn_c")(out, train)
         return out
 

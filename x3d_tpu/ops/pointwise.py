@@ -30,7 +30,7 @@ _DEFAULT_IMPL = "conv"
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    if impl not in ("auto", "einsum", "conv", "mxu"):
+    if impl not in ("auto", "einsum", "conv", "mxu", "mxu_exp"):
         raise ValueError(impl)
     _DEFAULT_IMPL = impl
 
@@ -41,6 +41,13 @@ def pointwise_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
     k2 = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
     cin, cout = k2.shape
     impl = impl or _DEFAULT_IMPL
+    if impl == "mxu_exp":
+        # MXU only for channel-EXPANDING convs (the bottleneck "a" convs):
+        # their pallas custom_vjp residual is the block input, which the
+        # residual add keeps live anyway - so the MXU win comes at zero
+        # extra HBM (the contracting "c" convs would pin their wide swish
+        # inputs that XLA otherwise rematerialises).
+        impl = "mxu" if cout > cin else "conv"
     if impl == "mxu":
         # batch-minor Pallas MXU kernel (ops/pw_batchminor.py): only for
         # rank-5 bulk activations with whole-128-lane batches; SE / head
@@ -76,12 +83,27 @@ class PointwiseConv3D(nn.Module):
     kernel_init: Any = nn.initializers.glorot_uniform()
     bias_init: Any = nn.initializers.zeros_init()
     impl: Optional[str] = None
+    # Channel-tile padding for the fused depthwise path (models/x3d.py):
+    # out_pad appends zero output channels (the conv writes a sublane-
+    # aligned buffer directly — no pad pass); in_pad appends zero input-
+    # channel rows (consume an out_pad'ed producer).  Parameters keep their
+    # un-padded shapes; autodiff flows through the weight pad exactly.
+    out_pad: int = 0
+    in_pad: int = 0
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] - self.in_pad
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, 1, cin, self.features), self.param_dtype)
+        if self.in_pad or self.out_pad:
+            kernel = jnp.pad(
+                kernel, ((0, 0),) * 3 + ((0, self.in_pad), (0, self.out_pad)))
+            # hide the zero pad rows/cols from the algebraic simplifier:
+            # letting XLA prove the padded channels dead makes it slice the
+            # upstream conv's cotangent, which then trips an invalid
+            # batch-group weight-grad conv for the depthwise op
+            kernel = jax.lax.optimization_barrier(kernel)
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         if self.strides != (1, 1, 1):
@@ -91,5 +113,7 @@ class PointwiseConv3D(nn.Module):
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),
                               self.param_dtype)
+            if self.out_pad:
+                bias = jnp.pad(bias, (0, self.out_pad))
             y = y + bias.astype(dtype)
         return y

@@ -55,6 +55,14 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
     # (MirroredStrategy semantics) by splitting the batch into one BN group
     # per data-axis shard; default True = globally synced statistics.
     bn_groups = 1 if cfg.TPU.SYNC_BN else mesh.shape["data"]
+
+    # Fused depthwise Pallas kernel: no SPMD partitioning rule yet, so
+    # "auto" applies only on single-device meshes (bench / one-chip runs).
+    from x3d_tpu.ops import dw_fused
+    fused = cfg.TPU.FUSED_DW if "FUSED_DW" in cfg.TPU else "auto"
+    if fused == "auto" and len(devices) > 1:
+        fused = False
+    dw_fused.set_enabled(fused)
     model = create_model(cfg, dtype=dtype, bn_groups=bn_groups)
     log.info("mesh=%s devices=%d dtype=%s bn_groups=%d backend=%s",
              dict(mesh.shape), len(devices), dtype.__name__, bn_groups,
