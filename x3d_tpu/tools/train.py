@@ -44,6 +44,9 @@ flags.DEFINE_bool("multihost", False,
                   "each host reads its own shard of the input files.")
 flags.DEFINE_bool("synthetic", False,
                   "Train on synthetic data (no dataset needed).")
+flags.DEFINE_bool("native_loader", False,
+                  "Use the C++ clip loader (x3d_tpu/native) instead of "
+                  "tf.data for the training input pipeline.")
 flags.DEFINE_integer("steps_per_epoch", None,
                      "Override DATASET_SIZE // BATCH_SIZE.")
 flags.DEFINE_integer("epochs", None, "Override TRAIN.EPOCHS.")
@@ -102,8 +105,21 @@ def main(_):
                        host_count=jax.process_count())
         # each host feeds its slice of the global batch
         local_batch = batch // jax.process_count()
-        reader = InputReader(cfg, is_training=True,
-                             use_tfrecord=FLAGS.use_tfrecord, **host_kw)
+        if FLAGS.native_loader:
+            from x3d_tpu.data.native_loader import (NativeClipLoader,
+                                                    available, build_error)
+            if not FLAGS.use_tfrecord:
+                raise app.UsageError(
+                    "--native_loader requires --use_tfrecord (it reads "
+                    "TFRecord shards, not raw videos)")
+            if not available():
+                raise app.UsageError(
+                    f"--native_loader: {build_error()}")
+            reader = NativeClipLoader(cfg, is_training=True,
+                                      seed=jax.process_index(), **host_kw)
+        else:
+            reader = InputReader(cfg, is_training=True,
+                                 use_tfrecord=FLAGS.use_tfrecord, **host_kw)
         train_iter = reader.device_iterator(
             FLAGS.train_file_pattern, local_batch, mesh=mesh, dtype=dtype)
         val_fn = None
