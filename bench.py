@@ -44,7 +44,10 @@ import time
 
 BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP = 30.0
 
-TRAIN_BATCH = {"XS": 128, "S": 128, "M": 128, "L": 32, "XL": 32}
+# L/XL: 312^2 with per-block remat; measured HBM (compile memory_analysis):
+# temp 15.9 GB at batch 24 (+0.3 GB args = OOM on a 15.75 GB v5e-1) vs
+# 13.8 GB at batch 16.
+TRAIN_BATCH = {"XS": 128, "S": 128, "M": 128, "L": 16, "XL": 16}
 TRAIN_STEPS = {"XS": 30, "S": 30, "M": 30, "L": 10, "XL": 10}
 
 

@@ -58,6 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Run kernels in the Pallas interpreter (CPU tests).
 INTERPRET = False
 
+# Tap-sum arithmetic: None = the input dtype (bf16 packed vector math in
+# production; f32 when callers pass f32, e.g. tests), or jnp.float32 to
+# force XLA-conv-identical accumulate precision at ~half the vector rate.
+TAP_DTYPE = None
+
 _VMEM_BUDGET = 80 * 1024 * 1024
 
 # Bottleneck-segment dispatch mode:
@@ -181,16 +186,27 @@ class _Ring:
                 pl.when(cond)(lambda c=copy: c.wait())
         raw = [self.ring[slot, si] for si in range(len(self.srcs))]
         shp = raw[0].shape                                   # (rows, Wp, C, B)
-        rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        # masks built from per-axis iotas (broadcast, not full-window i32s)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (shp[0], 1, 1, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, shp[1], 1, 1), 1)
         grow = self.hi * self.hc - self.halo + rows
         mask = ((grow >= 0) & (grow < self.H)
                 & (cols >= self.wpad) & (cols < self.wpad + self.W))
         self.ring[slot, 0] = self.transform(raw, mask)
 
-    def window(self, q):
-        """Resident (transformed) window of plane q (traced)."""
-        return self.ring.at[(q + 64 * self.nslots) % self.nslots, 0]
+    def window(self, q, T=None):
+        """Resident (transformed) window of plane q (traced).  With T given,
+        out-of-range planes resolve to the permanently-zero pad slot
+        (index nslots) so taps need no validity selects."""
+        slot = (q + 64 * self.nslots) % self.nslots
+        if T is not None:
+            slot = jnp.where((q >= 0) & (q < T), slot, self.nslots)
+        return self.ring.at[slot, 0]
+
+    def zero_pad_slot(self):
+        """One-time zeroing of the pad slot (call at the first grid step)."""
+        self.ring[self.nslots, 0] = jnp.zeros(
+            self.ring.shape[2:], self.ring.dtype)
 
 
 def _ring_io(rings, t, T, kt, lo_t, nslots):
@@ -234,25 +250,24 @@ def _ring_io(rings, t, T, kt, lo_t, nslots):
                         ring.start(qp, k)
 
 
-def _conv_row(win_of, t, T, kt, kh, kw, lo_t, halo, W, wk, r):
-    """f32 taps sum for output row r: out[w] = sum u[q][r+dh][w+dw] * wk[tap]
-    (windows are zero-padded so all taps are full-W slices).  Planes outside
-    [0, T) contribute zero via a scalar select."""
+def _conv_row(win_of, t, T, kt, kh, kw, lo_t, halo, W, wk, r,
+              tap_dtype=jnp.float32):
+    """Taps sum for output row r: out[w] = sum u[q][r+dh][w+dw] * wk[tap].
+    Windows are zero-padded in W/H and planes outside [0, T) resolve to a
+    zero slot, so every tap is an unconditional full-W slice.  ``tap_dtype``
+    selects the accumulate precision: the input dtype keeps bf16 packed
+    (16,128) vector arithmetic (2 elems/lane-cycle); float32 is exactly the
+    XLA-conv numerics."""
     total = None
     for dt in range(kt):
-        q = t + dt - lo_t
-        win = win_of(q)
-        partial = None
+        win = win_of(t + dt - lo_t)
         for dh in range(kh):
-            row32 = win[r + dh].astype(jnp.float32)          # (Wp, C, B)
+            row = win[r + dh].astype(tap_dtype)              # (Wp, C, B)
             for dw in range(kw):
                 tap = (dt * kh + dh) * kw + dw
-                term = row32[dw:dw + W] * wk[tap][None]
-                partial = term if partial is None else partial + term
-        if kt > 1:
-            partial = jnp.where((q >= 0) & (q < T), partial, 0.0)
-        total = partial if total is None else total + partial
-    return total
+                term = row[dw:dw + W] * wk[tap][None].astype(tap_dtype)
+                total = term if total is None else total + term
+    return total.astype(jnp.float32)
 
 
 # ----------------------------------------------------------------- forward
@@ -276,16 +291,19 @@ def _fwd_kernel(xt_hbm, a_ref, b_ref, wk_ref,
 
     uring = _Ring([xt_hbm], ring, sems, hi, hc, halo, wpad, W, H, nH,
                   nslots, xform)
-    _ring_io([uring], t, T, kt, lo_t, nslots)
 
     @pl.when(jnp.logical_and(hi == 0, t == 0))
     def _():
+        uring.zero_pad_slot()
         p_acc[...] = jnp.zeros_like(p_acc)
         s2_acc[...] = jnp.zeros_like(s2_acc)
 
+    _ring_io([uring], t, T, kt, lo_t, nslots)
+
     for r in range(hc):
-        acc = _conv_row(uring.window, t, T, kt, kh, kw, lo_t, halo, W,
-                        wk_ref, r)
+        acc = _conv_row(lambda q: uring.window(q, T), t, T, kt, kh, kw,
+                        lo_t, halo, W, wk_ref, r,
+                        tap_dtype=TAP_DTYPE or store_dtype)
         y = acc.astype(y_ref.dtype)
         y_ref[0, r] = y
         y32 = y.astype(jnp.float32)
@@ -327,19 +345,23 @@ def _bwd_kernel(xt_hbm, gyt_hbm, yt_hbm, a_ref, b_ref, gp_ref, gs22_ref,
                   nslots, u_xform)
     gring = _Ring([gyt_hbm, yt_hbm], gring_ref, gsems, hi, hc, halo, wpad,
                   W, H, nH, nslots, g_xform)
-    _ring_io([uring, gring], t, T, kt, lo_t, nslots)
 
     @pl.when(jnp.logical_and(hi == 0, t == 0))
     def _():
+        uring.zero_pad_slot()
+        gring.zero_pad_slot()
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dzs_acc[...] = jnp.zeros_like(dzs_acc)
         duu_acc[...] = jnp.zeros_like(duu_acc)
 
+    _ring_io([uring, gring], t, T, kt, lo_t, nslots)
+
     # flipped-tap weights give du = conv(g_eff, flip(k)) with the SAME
     # window/slice geometry as the forward (odd kernels)
     for r in range(hc):
-        du = _conv_row(gring.window, t, T, kt, kh, kw, lo_t, halo, W,
-                       wkf_ref, r)
+        du = _conv_row(lambda q: gring.window(q, T), t, T, kt, kh, kw,
+                       lo_t, halo, W, wkf_ref, r,
+                       tap_dtype=TAP_DTYPE or store_dtype)
         u_c = uring.window(t)[r + halo, wpad:wpad + W].astype(jnp.float32)
         dz = jnp.where(u_c > 0, du, 0.0)                    # (W, C, B) f32
         dx_ref[0, r] = (dz * a_ref[...][None]).astype(dx_ref.dtype)
@@ -348,16 +370,12 @@ def _bwd_kernel(xt_hbm, gyt_hbm, yt_hbm, a_ref, b_ref, gp_ref, gs22_ref,
 
         g_c = gring.window(t)[r + halo, wpad:wpad + W].astype(jnp.float32)
         for dt in range(kt):
-            q = t + dt - lo_t
-            win = uring.window(q)
+            win = uring.window(t + dt - lo_t, T)   # zero slot when invalid
             for dh in range(kh):
                 u_row = win[r + dh].astype(jnp.float32)      # (Wp, C, B)
                 for dw in range(kw):
                     tap = (dt * kh + dh) * kw + dw
-                    contrib = jnp.sum(u_row[dw:dw + W] * g_c, axis=0)
-                    if kt > 1:
-                        contrib = jnp.where((q >= 0) & (q < T), contrib, 0.0)
-                    dk_acc[tap] += contrib
+                    dk_acc[tap] += jnp.sum(u_row[dw:dw + W] * g_c, axis=0)
 
     @pl.when(jnp.logical_and(hi == nH - 1, t == T - 1))
     def _():
@@ -398,7 +416,8 @@ def _run_fwd(x, a_cb, b_cb, kernel):
     nslots = kt + 1
     Wp = W + 2 * wpad
     row_bytes = Wp * C * B * x.dtype.itemsize
-    hc = _pick_hc(H, row_bytes, halo, nslots, acc_bytes_per_row=W * C * B * 6)
+    hc = _pick_hc(H, row_bytes, halo, nslots + 1,
+                  acc_bytes_per_row=W * C * B * 6)
     xt = _bm_views(x)
     wk = _tap_weights(kernel, B)
     kern = functools.partial(
@@ -425,7 +444,7 @@ def _run_fwd(x, a_cb, b_cb, kernel):
             jax.ShapeDtypeStruct((C, B), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots + 1, 1, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 1, 3)),
             pltpu.VMEM((C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
@@ -445,7 +464,7 @@ def _run_bwd(x, a_cb, b_cb, kernel, y, gy, gp, gs2):
     taps = kt * kh * kw
     Wp = W + 2 * wpad
     row_bytes = Wp * C * B * x.dtype.itemsize
-    hc = _pick_hc(H, row_bytes, halo, 3 * nslots,
+    hc = _pick_hc(H, row_bytes, halo, 3 * (nslots + 1),
                   acc_bytes_per_row=W * C * B * 8)
     xt, gyt, yt = _bm_views(x), _bm_views(gy.astype(x.dtype)), _bm_views(y)
     wkf = _tap_weights(kernel[::-1, ::-1, ::-1], B)
@@ -471,9 +490,9 @@ def _run_bwd(x, a_cb, b_cb, kernel, y, gy, gp, gs2):
             jax.ShapeDtypeStruct((C, B), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots + 1, 1, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 1, 3)),
-            pltpu.VMEM((nslots, 2, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots + 1, 2, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 2, 3)),
             pltpu.VMEM((taps, C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
