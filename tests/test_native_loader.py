@@ -148,3 +148,21 @@ def test_multicrop_eval_rejected(shards):
     cfg.TEST.NUM_SPATIAL_CROPS = 3
     with pytest.raises(NotImplementedError):
         native_loader.NativeClipLoader(cfg, is_training=False)
+
+
+def test_host_sharding_partitions_files(shards):
+    """host_id/host_count slice the shard list; the union of two hosts'
+    labels covers the dataset with no overlap (2 flat shards)."""
+    cfg = _cfg()
+    seen = []
+    for host in (0, 1):
+        loader = native_loader.NativeClipLoader(
+            cfg, is_training=False, num_threads=1, host_id=host,
+            host_count=2)
+        labels = []
+        for batch in loader(str(shards / "flat-*"), batch_size=1):
+            labels.append(int(batch["label"][0]))
+        assert labels, f"host {host} read nothing"
+        seen.append(set(labels))
+    assert seen[0] | seen[1] == {0, 1, 2, 3}
+    assert not (seen[0] & seen[1])

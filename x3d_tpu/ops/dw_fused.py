@@ -92,11 +92,11 @@ def segment_mode(batch: int, stride: int, bn_groups: int,
     Only stride-1 / ungrouped-BN / odd-kernel segments are eligible
     (stage-entry stride-2 convs and per-replica BN keep the reference
     composition).  "auto" engages the aligned layout on a real TPU with
-    full 128-lane batches; the Pallas kernel must be requested explicitly
-    (it currently trails the XLA dw emitter — see module docstring).
-    Note: the Pallas kernels have no SPMD partitioning rule yet —
-    ``tools/common.setup_runtime`` disables the fused modes on multi-device
-    meshes.
+    full 128-lane (global) batches; it is plain XLA ops and SPMD-safe
+    under pjit on any mesh.  The Pallas kernel must be requested
+    explicitly (it trails the XLA dw emitter — see docs/PERF.md) and has
+    no SPMD partitioning rule: ``tools/common.setup_runtime`` downgrades
+    it to "aligned" on multi-device meshes.
     """
     if (_ENABLED is False or stride != 1 or bn_groups != 1
             or temp_kernel % 2 == 0):

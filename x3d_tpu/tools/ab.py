@@ -1,0 +1,101 @@
+"""Full-train-step A/B harness for lowering experiments.
+
+The only trustworthy way to evaluate a kernel/lowering change on this
+stack is a full training step on real hardware: isolated op benchmarks
+mislead (XLA's layout assignment and fusion structure differ in-step, and
+loop harnesses let the compiler dead-code-eliminate sliced outputs — see
+docs/PERF.md).  This tool times the complete X3D train step under a chosen
+combination of dispatch knobs:
+
+    python -m x3d_tpu.tools.ab --dw=aligned --pw=conv [--variant=M]
+        [--batch=128] [--steps=20] [--remat] [--crop=224]
+
+  --dw:  off | aligned | pallas | xla | shift | shift_cvjp | bm | xbwd
+         (off/aligned/pallas select the bottleneck segment mode in
+         ops/dw_fused.py; the rest select ops/depthwise.py lowerings with
+         the segment mode off)
+  --pw:  conv | einsum | auto | mxu | mxu_exp  (ops/pointwise.py)
+
+Prints one JSON line with step_ms and clips_per_s (min over 3 timed
+rounds of --steps chained steps, dispatch overhead amortized).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
+           remat: bool, crop: int | None = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from x3d_tpu import variant_config
+    from x3d_tpu.models import create_model
+    from x3d_tpu.ops import depthwise, dw_fused, pointwise
+    from x3d_tpu.train import create_train_state, make_train_step
+    from x3d_tpu.utils import tpu_compiler_options
+
+    if dw in ("off", "aligned", "pallas"):
+        dw_fused.set_enabled(False if dw == "off" else dw)
+    else:
+        dw_fused.set_enabled(False)
+        depthwise.set_default_impl(dw)
+    pointwise.set_default_impl(pw)
+
+    cfg = variant_config(variant)
+    if crop:
+        cfg.DATA.TRAIN_CROP_SIZE = crop
+    dtype = jnp.bfloat16
+    model = create_model(cfg, dtype=dtype, remat=remat or None)
+    key = jax.random.PRNGKey(0)
+    T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
+    video = jax.random.normal(key, (batch, T, S, S, 3), dtype=dtype)
+    label = jnp.arange(batch) % cfg.NETWORK.NUM_CLASSES
+    batch_d = {"video": video, "label": label}
+
+    state = create_train_state(cfg, model, key, video, steps_per_epoch=1000)
+    train_step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY),
+                         compiler_options=tpu_compiler_options())
+
+    state, metrics = train_step(state, batch_d, key)
+    float(np.asarray(metrics["loss"]))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = train_step(state, batch_d, key)
+        float(np.asarray(metrics["loss"]))
+        best = min(best, (time.perf_counter() - t0) / steps)
+
+    return {"variant": variant, "dw": dw, "pw": pw, "batch": batch,
+            "remat": bool(remat), "input": f"{T}x{S}^2",
+            "step_ms": round(best * 1e3, 2),
+            "clips_per_s": round(batch / best, 2)}
+
+
+def main(argv=None):
+    from absl import app, flags
+
+    flags.DEFINE_string("variant", "M", "X3D variant.")
+    flags.DEFINE_string("dw", "aligned", "Depthwise/segment mode.")
+    flags.DEFINE_string("pw", "conv", "Pointwise lowering.")
+    flags.DEFINE_integer("batch", 128, "Train batch (clips).")
+    flags.DEFINE_integer("steps", 20, "Chained steps per timed round.")
+    flags.DEFINE_bool("remat", False, "Force per-block remat.")
+    flags.DEFINE_integer("crop", 0, "Override TRAIN_CROP_SIZE (0 = config).")
+    FLAGS = flags.FLAGS
+
+    def run(_):
+        print(json.dumps(run_ab(FLAGS.variant.upper(), FLAGS.dw, FLAGS.pw,
+                                FLAGS.batch, FLAGS.steps, FLAGS.remat,
+                                FLAGS.crop or None)))
+
+    app.run(run, argv=argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,12 +56,17 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
     # per data-axis shard; default True = globally synced statistics.
     bn_groups = 1 if cfg.TPU.SYNC_BN else mesh.shape["data"]
 
-    # Fused depthwise Pallas kernel: no SPMD partitioning rule yet, so
-    # "auto" applies only on single-device meshes (bench / one-chip runs).
+    # Bottleneck segment mode (models/x3d.py): "auto" resolves to the
+    # "aligned" restructure on TPU at full-lane batches — plain XLA ops,
+    # SPMD-safe under pjit on any mesh (the BN stat sums become global
+    # reductions, matching SYNC_BN=True semantics).  The opt-in Pallas
+    # mode has no SPMD partitioning rule and is single-device only.
     from x3d_tpu.ops import dw_fused
     fused = cfg.TPU.FUSED_DW if "FUSED_DW" in cfg.TPU else "auto"
-    if fused == "auto" and len(devices) > 1:
-        fused = False
+    if fused in (True, "pallas") and len(devices) > 1:
+        log.warning("TPU.FUSED_DW=pallas has no SPMD rule; using 'aligned' "
+                    "on the %d-device mesh", len(devices))
+        fused = "aligned"
     dw_fused.set_enabled(fused)
     model = create_model(cfg, dtype=dtype, bn_groups=bn_groups)
     log.info("mesh=%s devices=%d dtype=%s bn_groups=%d backend=%s",
