@@ -109,7 +109,7 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     del video, batch   # free the train buffers before the big eval batch
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     big = cfg.DATA.TEST_CROP_SIZE >= 312
-    infer_videos = ((4 if big else 64) if views <= 10 else 4) \
+    infer_videos = ((16 if big else 64) if views <= 10 else 4) \
         if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),

@@ -143,9 +143,36 @@ def test_eval_geometry_matches_tf_pipeline_gradient(shards):
     assert checked >= 6
 
 
-def test_multicrop_eval_rejected(shards):
+def test_three_crop_eval_matches_tf_pipeline(shards):
+    """3-crop (left/center/right) eval: crop-major clip layout and pixels
+    agree with the tf.data pipeline."""
     cfg = _cfg()
     cfg.TEST.NUM_SPATIAL_CROPS = 3
+    reader = InputReader(cfg, is_training=False, use_tfrecord=True)
+    tf_batches = {}
+    for batch in reader.as_numpy(str(shards / "train-*"), 1):
+        tf_batches.setdefault(int(batch["label"][0]), []).append(
+            batch["video"])
+
+    loader = native_loader.NativeClipLoader(cfg, is_training=False,
+                                            num_threads=1)
+    checked = 0
+    for batch in loader(str(shards / "train-*"), batch_size=1):
+        label = int(batch["label"][0])
+        V = cfg.TEST.NUM_TEMPORAL_VIEWS * 3
+        assert batch["video"].shape[0] == V
+        best = min(
+            np.abs(batch["video"].astype(np.int32).reshape(r.shape)
+                   - r.astype(np.int32)).mean()
+            for r in tf_batches[label])
+        assert best < 1.5, f"label {label}: best mean diff {best}"
+        checked += 1
+    assert checked == 6
+
+
+def test_bad_crop_count_rejected(shards):
+    cfg = _cfg()
+    cfg.TEST.NUM_SPATIAL_CROPS = 2
     with pytest.raises(NotImplementedError):
         native_loader.NativeClipLoader(cfg, is_training=False)
 

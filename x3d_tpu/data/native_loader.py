@@ -15,9 +15,9 @@ Scope notes (documented divergences from the tf.data path):
   * training path: same sampler math and transform structure, but C++
     RNG streams differ from TF's — augmentation randomness is equivalent
     in distribution, not bit-identical.
-  * eval path: deterministic with ``num_threads=1``; spatial crops
-    support the center-crop protocol (NUM_SPATIAL_CROPS == 1 — the
-    published 10-center-clip protocol); 3-crop eval uses tf.data.
+  * eval path: deterministic with ``num_threads=1``; both eval crop
+    protocols are supported (center crop and 3-crop left/center/right,
+    crop-major output like the tf.data pipeline).
 """
 
 from __future__ import annotations
@@ -74,8 +74,8 @@ def _load():
         lib.x3d_loader_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_ulonglong, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.x3d_loader_next.restype = ctypes.c_int
         lib.x3d_loader_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
@@ -116,10 +116,10 @@ class NativeClipLoader:
         if num_views is None:
             num_views = (1 if is_training
                          else cfg.TEST.NUM_TEMPORAL_VIEWS)
-        if not is_training and cfg.TEST.NUM_SPATIAL_CROPS != 1:
+        self._crops = 1 if is_training else cfg.TEST.NUM_SPATIAL_CROPS
+        if self._crops not in (1, 3):
             raise NotImplementedError(
-                "native loader supports the center-crop eval protocol; "
-                "use the tf.data pipeline for multi-crop eval")
+                f"NUM_SPATIAL_CROPS must be 1 or 3, got {self._crops}")
         self._cfg = cfg
         self._train = bool(is_training)
         self._views = int(num_views)
@@ -155,12 +155,12 @@ class NativeClipLoader:
             *[p.encode() for p in paths])
         handle = lib.x3d_loader_open(
             arr, len(paths), T, cfg.DATA.FRAME_RATE, self._views,
-            int(self._train), cfg.DATA.TRAIN_JITTER_SCALES[0],
+            self._crops, int(self._train), cfg.DATA.TRAIN_JITTER_SCALES[0],
             cfg.DATA.TRAIN_JITTER_SCALES[1], S, self._flip_mode,
             self._seed, self._threads, int(self._loop), int(self._shuffle))
         if not handle:
             raise RuntimeError("x3d_loader_open failed")
-        clips = 1 if self._train else self._views
+        clips = 1 if self._train else self._views * self._crops
         try:
             sample_bytes = lib.x3d_loader_sample_bytes(handle)
             assert sample_bytes == clips * T * S * S * 3

@@ -403,7 +403,8 @@ void ResizeBilinear(const Image& in, int ow, int oh, Image* out) {
 struct Config {
   int num_frames = 16;
   int sample_rate = 5;
-  int num_views = 1;       // eval views; train always 1
+  int num_views = 1;       // eval temporal views; train always 1
+  int num_crops = 1;       // eval spatial crops (1 = center, 3 = l/c/r)
   int is_training = 1;
   int jitter_min = 256;
   int jitter_max = 320;
@@ -460,7 +461,7 @@ class Loader {
   }
 
   size_t sample_bytes() const {
-    int clips = cfg_.is_training ? 1 : cfg_.num_views;
+    int clips = cfg_.is_training ? 1 : cfg_.num_views * cfg_.num_crops;
     return size_t(clips) * cfg_.num_frames * cfg_.crop_size * cfg_.crop_size *
            3;
   }
@@ -548,8 +549,13 @@ class Loader {
               [&](int a, int b) { return indices[a] < indices[b]; });
 
     Image full, resized;
-    int cx = -1, cy = -1;  // crop offsets, fixed after first frame
+    // crop offsets (cy, cx), fixed after the first decoded frame; eval
+    // multi-crop follows the reference's uniform_crop (left/center/right
+    // along the long side, ceil'd center offsets; crop-major output)
+    std::vector<std::pair<int, int>> crops;
     int last = -1;
+    const int n_crops = cfg_.is_training ? 1 : cfg_.num_crops;
+    const int VT = int(indices.size());
     for (size_t oi = 0; oi < order.size(); ++oi) {
       int pos = order[oi];
       int fi = indices[pos];
@@ -571,36 +577,47 @@ class Loader {
           ow = int(std::floor(double(full.w) / full.h * target_short));
         }
         ResizeBilinear(full, ow, oh, &resized);
-        if (cx < 0) {
+        if (crops.empty()) {
           int max_x = resized.w - S, max_y = resized.h - S;
           if (max_x < 0 || max_y < 0) {
             *err = "crop larger than resized frame";
             return false;
           }
           if (cfg_.is_training) {
-            cx = max_x ? int(rng() % uint64_t(max_x + 1)) : 0;
-            cy = max_y ? int(rng() % uint64_t(max_y + 1)) : 0;
-          } else {  // center crop (ceil offsets, matching the pipeline)
-            cx = (max_x + 1) / 2;
-            cy = (max_y + 1) / 2;
+            crops.emplace_back(
+                max_y ? int(rng() % uint64_t(max_y + 1)) : 0,
+                max_x ? int(rng() % uint64_t(max_x + 1)) : 0);
+          } else {
+            int ccy = (max_y + 1) / 2, ccx = (max_x + 1) / 2;
+            bool tall = resized.h > resized.w;
+            for (int i = 0; i < n_crops; ++i) {
+              int idx = n_crops > 1 ? i % 3 : 1;
+              int y = ccy, x = ccx;
+              if (idx == 0) (tall ? y : x) = 0;
+              if (idx == 2) (tall ? y = max_y : x = max_x);
+              crops.emplace_back(y, x);
+            }
           }
         }
         last = fi;
       }
-      // copy crop into position `pos`
-      uint8_t* dst = s->video.data() + size_t(pos) * S * S * 3;
-      for (int y = 0; y < S; ++y) {
-        const uint8_t* src =
-            resized.rgb.data() + (size_t(cy + y) * resized.w + cx) * 3;
-        if (!flip) {
-          std::memcpy(dst + size_t(y) * S * 3, src, size_t(S) * 3);
-        } else {
-          uint8_t* drow = dst + size_t(y) * S * 3;
-          for (int x = 0; x < S; ++x) {
-            const uint8_t* px = src + (S - 1 - x) * 3;
-            drow[x * 3] = px[0];
-            drow[x * 3 + 1] = px[1];
-            drow[x * 3 + 2] = px[2];
+      for (int ci = 0; ci < int(crops.size()); ++ci) {
+        int cy = crops[ci].first, cx = crops[ci].second;
+        uint8_t* dst =
+            s->video.data() + (size_t(ci) * VT + pos) * S * S * 3;
+        for (int y = 0; y < S; ++y) {
+          const uint8_t* src =
+              resized.rgb.data() + (size_t(cy + y) * resized.w + cx) * 3;
+          if (!flip) {
+            std::memcpy(dst + size_t(y) * S * 3, src, size_t(S) * 3);
+          } else {
+            uint8_t* drow = dst + size_t(y) * S * 3;
+            for (int x = 0; x < S; ++x) {
+              const uint8_t* px = src + (S - 1 - x) * 3;
+              drow[x * 3] = px[0];
+              drow[x * 3 + 1] = px[1];
+              drow[x * 3 + 2] = px[2];
+            }
           }
         }
       }
@@ -629,15 +646,16 @@ class Loader {
 extern "C" {
 
 void* x3d_loader_open(const char** paths, int num_paths, int num_frames,
-                      int sample_rate, int num_views, int is_training,
-                      int jitter_min, int jitter_max, int crop_size,
-                      int flip_mode, unsigned long long seed, int num_threads,
-                      int loop, int shuffle) {
+                      int sample_rate, int num_views, int num_crops,
+                      int is_training, int jitter_min, int jitter_max,
+                      int crop_size, int flip_mode, unsigned long long seed,
+                      int num_threads, int loop, int shuffle) {
   std::vector<std::string> p(paths, paths + num_paths);
   Config cfg;
   cfg.num_frames = num_frames;
   cfg.sample_rate = sample_rate;
   cfg.num_views = num_views;
+  cfg.num_crops = num_crops;
   cfg.is_training = is_training;
   cfg.jitter_min = jitter_min;
   cfg.jitter_max = jitter_max;
