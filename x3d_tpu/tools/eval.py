@@ -24,6 +24,9 @@ flags.DEFINE_string("model_folder", None,
                     "Directory holding checkpoints (from the train CLI).")
 flags.DEFINE_integer("gpus", 0, "Number of chips (0 = all).", lower_bound=0)
 flags.DEFINE_bool("tfrecord", False, "Data is TFRecord shards.")
+flags.DEFINE_bool("native_loader", False,
+                  "Use the C++ clip loader (x3d_tpu/native) instead of "
+                  "tf.data (requires --tfrecord; center/3-crop protocols).")
 flags.DEFINE_bool("synthetic", False, "Evaluate on synthetic data.")
 flags.DEFINE_integer("max_batches", None, "Cap evaluation batches.")
 flags.DEFINE_multi_string("opts", [], "Config overrides: KEY VALUE pairs.")
@@ -84,8 +87,17 @@ def main(_):
         if not FLAGS.test_file_pattern:
             raise app.UsageError(
                 "--test_file_pattern required unless --synthetic")
-        reader = InputReader(cfg, is_training=False,
-                             use_tfrecord=FLAGS.tfrecord)
+        if FLAGS.native_loader:
+            from x3d_tpu.data.native_loader import (NativeClipLoader,
+                                                    available, build_error)
+            if not FLAGS.tfrecord:
+                raise app.UsageError("--native_loader requires --tfrecord")
+            if not available():
+                raise app.UsageError(f"--native_loader: {build_error()}")
+            reader = NativeClipLoader(cfg, is_training=False, num_threads=1)
+        else:
+            reader = InputReader(cfg, is_training=False,
+                                 use_tfrecord=FLAGS.tfrecord)
 
         def batches():
             it = reader.device_iterator(FLAGS.test_file_pattern, batch,
