@@ -115,3 +115,44 @@ def test_auto_gate_off_on_cpu(tiny_cfg):
     assert not dw_fused.applicable(128, 1, 1)
     assert not dw_fused.applicable(128, 2, 1)
     assert not dw_fused.applicable(128, 1, 8)
+
+
+@pytest.mark.parametrize("mode", ["pallas", "aligned"])
+def test_grouped_bn_fused_matches_grouped_unfused(tiny_cfg, fused_interpret,
+                                                  mode):
+    """Per-replica BN (bn_groups>1): the fused segment's per-sample
+    coefficient columns must reproduce GroupedBatchNorm semantics."""
+    model = create_model(tiny_cfg, dtype=jnp.float32, bn_groups=2)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 3, 32, 32, 3), jnp.float32)
+
+    dw_fused.set_enabled(False)
+    variables = init_variables(model, key, x)
+
+    def loss_and_stats(v, x_):
+        logits, upd = model.apply(
+            v, x_, train=True, return_logits=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(logits ** 2) * 1e-3, upd
+
+    dw_fused.set_enabled(False)
+    (l_ref, upd_ref), g_ref = jax.jit(
+        jax.value_and_grad(loss_and_stats, has_aux=True))(variables, x)
+    dw_fused.set_enabled(mode)
+    (l_got, upd_got), g_got = jax.jit(
+        jax.value_and_grad(loss_and_stats, has_aux=True))(variables, x)
+
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-4)
+    for (pr, vr), (pg, vg) in zip(
+            jax.tree_util.tree_leaves_with_path(upd_ref),
+            jax.tree_util.tree_leaves_with_path(upd_got)):
+        assert pr == pg
+        np.testing.assert_allclose(
+            np.asarray(vg), np.asarray(vr), rtol=1e-4, atol=1e-5,
+            err_msg=f"batch_stats {jax.tree_util.keystr(pr)}")
+    for (pr, vr), (pg, vg) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(vg), np.asarray(vr), rtol=5e-3, atol=1e-4,
+            err_msg=f"grad {jax.tree_util.keystr(pr)}")

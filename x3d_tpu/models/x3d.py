@@ -227,6 +227,10 @@ class _BNVars(nn.Module):
 
     @nn.compact
     def __call__(self, c: int, stats, train: bool):
+        """``stats``: (mean, var) with shape (c,) or (groups, c) — grouped
+        statistics (per-replica BN) update the running stats with the
+        cross-group mean, like :class:`GroupedBatchNorm`; returned coefs
+        keep the stats' shape.  Eval ignores ``stats`` and returns (c,)."""
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -237,8 +241,10 @@ class _BNVars(nn.Module):
             mean, var = stats
             if not self.is_initializing():
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                red = tuple(range(mean.ndim - 1))
+                ra_mean.value = (m * ra_mean.value
+                                 + (1 - m) * mean.mean(red))
+                ra_var.value = m * ra_var.value + (1 - m) * var.mean(red)
         else:
             mean, var = ra_mean.value, ra_var.value
         mul = jax.lax.rsqrt(var + self.eps) * scale
@@ -282,10 +288,9 @@ class _BN(nn.Module):
         if coefs:
             # fused-path mode: return (mul, add) f32 normalize coefficients
             # without applying them.  ``stats``: (mean, var) from the fused
-            # kernel's sums, or None to compute them from x (train) / use
-            # running stats (eval).  Requires groups == 1 (the fused path
-            # is gated off for per-replica BN).
-            assert self.groups == 1
+            # kernel's sums ((C,) global or (groups, C) per-replica), or
+            # None to compute them from x (train) / use running stats
+            # (eval).
             if train and stats is None:
                 x32 = x.astype(jnp.float32)
                 mean = jnp.mean(x32, axis=(0, 1, 2, 3))
@@ -406,19 +411,54 @@ class Bottleneck(nn.Module):
         out = _conv1x1(C, self.dtype, "a", out_pad=pad)(x.astype(self.dtype))
         if seg != "off":
             Bn, Tn, Hn, Wn = out.shape[:4]
+            g = self.bn_groups
+
+            def cb_cols(mul, add):
+                """(Cp, Bn) f32 coefficient columns — per-sample when the
+                coefs are grouped (per-replica BN), constant otherwise."""
+                if mul.ndim == 1:
+                    mp = jnp.pad(mul, (0, pad), constant_values=1.0)
+                    ap = jnp.pad(add, (0, pad))
+                    return (jnp.broadcast_to(mp[:, None], (Cp, Bn)),
+                            jnp.broadcast_to(ap[:, None], (Cp, Bn)))
+                mp = jnp.pad(mul, ((0, 0), (0, pad)), constant_values=1.0)
+                ap = jnp.pad(add, ((0, 0), (0, pad)))
+                return (jnp.transpose(jnp.repeat(mp, Bn // g, axis=0)),
+                        jnp.transpose(jnp.repeat(ap, Bn // g, axis=0)))
+
+            def ew(mul, add):
+                """Broadcastable (dtype) multiplier/offset for elementwise
+                use; keeps the (Cp,) vector form in the ungrouped case."""
+                if mul.ndim == 1:
+                    return (jnp.pad(mul, (0, pad),
+                                    constant_values=1.0).astype(self.dtype),
+                            jnp.pad(add, (0, pad)).astype(self.dtype))
+                mc, ac = cb_cols(mul, add)
+                shp = (Bn, 1, 1, 1, Cp)
+                return (jnp.transpose(mc).reshape(shp).astype(self.dtype),
+                        jnp.transpose(ac).reshape(shp).astype(self.dtype))
+
             stats_a = None
             if train:
                 x32 = out.astype(jnp.float32)
-                # barrier the (Cp,) stat vectors before slicing to C: XLA
+                # barrier the stat vectors before slicing to C: XLA
                 # otherwise pushes the slice through the reduces into the
                 # activations' cotangents, and its rewrite of a sliced
                 # depthwise weight-grad conv is invalid (batch-group
                 # mismatch at compile time)
-                mean_a = jax.lax.optimization_barrier(
-                    jnp.mean(x32, axis=(0, 1, 2, 3)))[:C]
-                var_a = (jax.lax.optimization_barrier(
-                    jnp.mean(x32 * x32, axis=(0, 1, 2, 3)))[:C]
-                    - mean_a * mean_a)
+                if g > 1:
+                    xg = x32.reshape(g, Bn // g, Tn, Hn, Wn, Cp)
+                    mean_a = jax.lax.optimization_barrier(
+                        jnp.mean(xg, axis=(1, 2, 3, 4)))[:, :C]
+                    var_a = (jax.lax.optimization_barrier(
+                        jnp.mean(xg * xg, axis=(1, 2, 3, 4)))[:, :C]
+                        - mean_a * mean_a)
+                else:
+                    mean_a = jax.lax.optimization_barrier(
+                        jnp.mean(x32, axis=(0, 1, 2, 3)))[:C]
+                    var_a = (jax.lax.optimization_barrier(
+                        jnp.mean(x32 * x32, axis=(0, 1, 2, 3)))[:C]
+                        - mean_a * mean_a)
                 stats_a = (mean_a, var_a)
             mul_a, add_a = bn("bn_a")(None, train, stats=stats_a,
                                       coefs=True, c=C)
@@ -431,20 +471,14 @@ class Bottleneck(nn.Module):
             if seg == "pallas":
                 # bn_a-normalize + ReLU + depthwise conv + bn_b statistics
                 # (+ SE pool) in one Pallas pass — see ops/dw_fused.py.
-                a_cb = jnp.broadcast_to(
-                    jnp.pad(mul_a, (0, pad), constant_values=1.0)[:, None],
-                    (Cp, Bn))
-                b_cb = jnp.broadcast_to(jnp.pad(add_a, (0, pad))[:, None],
-                                        (Cp, Bn))
+                a_cb, b_cb = cb_cols(mul_a, add_a)
                 y, p, s2 = dw_fused.dw_bn_act_conv(out, a_cb, b_cb, kernel)
             else:
                 # "aligned": same layout/BN structure, XLA dw emitter (which
                 # runs near the VPU-issue bound); XLA fuses the affine+ReLU
                 # into the conv's input read and the sums into its epilogue.
-                u = nn.relu(
-                    out * jnp.pad(mul_a, (0, pad),
-                                  constant_values=1.0).astype(self.dtype)
-                    + jnp.pad(add_a, (0, pad)).astype(self.dtype))
+                am, aa = ew(mul_a, add_a)
+                u = nn.relu(out * am + aa)
                 from x3d_tpu.ops.depthwise import depthwise_conv3d
                 y = depthwise_conv3d(u, kernel.astype(self.dtype))
                 y32 = y.astype(jnp.float32)
@@ -453,21 +487,29 @@ class Bottleneck(nn.Module):
             p = jax.lax.optimization_barrier(p)
             s2 = jax.lax.optimization_barrier(s2)
             n = Bn * Tn * Hn * Wn
-            mean_b = p.sum(axis=1)[:C] / n
-            var_b = s2.sum(axis=1)[:C] / n - mean_b * mean_b
+            if g > 1 and train:
+                # per-replica statistics from the same per-sample sums
+                pg = p.reshape(Cp, g, Bn // g).sum(-1)[:C]       # (C, g)
+                sg = s2.reshape(Cp, g, Bn // g).sum(-1)[:C]
+                ng = n // g
+                mean_b = jnp.transpose(pg) / ng                  # (g, C)
+                var_b = jnp.transpose(sg) / ng - mean_b * mean_b
+            else:
+                mean_b = p.sum(axis=1)[:C] / n
+                var_b = s2.sum(axis=1)[:C] / n - mean_b * mean_b
             mul_b, add_b = bn("bn_b")(None, train, stats=(mean_b, var_b),
                                       coefs=True, c=C)
             # multiplier pads are 1 (not 0): an all-zero broadcast column
             # invites XLA to slice the conv output to C channels and then
             # build an invalid batch-group weight-grad conv; pad channels
             # are zero regardless because the padded kernel taps are zero.
-            out = (y.astype(self.dtype)
-                   * jnp.pad(mul_b, (0, pad),
-                             constant_values=1.0).astype(self.dtype)
-                   + jnp.pad(add_b, (0, pad)).astype(self.dtype))
+            bm, ba = ew(mul_b, add_b)
+            out = y.astype(self.dtype) * bm + ba
             if spec.use_se:
-                pooled = (mul_b[:, None] * (p[:C] / (Tn * Hn * Wn))
-                          + add_b[:, None])
+                mbc, abc = cb_cols(mul_b, add_b)                 # (Cp, Bn)
+                pooled = (mbc[:C].astype(jnp.float32)
+                          * (p[:C] / (Tn * Hn * Wn))
+                          + abc[:C].astype(jnp.float32))
                 pooled = jnp.transpose(pooled).reshape(Bn, 1, 1, 1, C)
                 out = SqueezeExcite(spec.se_width, C, self.dtype,
                                     gate_pad=pad, name="se")(

@@ -89,17 +89,18 @@ def segment_mode(batch: int, stride: int, bn_groups: int,
                  temp_kernel: int) -> str:
     """Resolve the segment implementation for one bottleneck instance.
 
-    Only stride-1 / ungrouped-BN / odd-kernel segments are eligible
-    (stage-entry stride-2 convs and per-replica BN keep the reference
-    composition).  "auto" engages the aligned layout on a real TPU with
+    Only stride-1 / odd-kernel segments with the batch divisible by the
+    BN group count are eligible (stage-entry stride-2 convs keep the
+    reference composition; grouped/per-replica BN is supported via
+    per-sample coefficient columns).  "auto" engages the aligned layout on a real TPU with
     full 128-lane (global) batches; it is plain XLA ops and SPMD-safe
     under pjit on any mesh.  The Pallas kernel must be requested
     explicitly (it trails the XLA dw emitter — see docs/PERF.md) and has
     no SPMD partitioning rule: ``tools/common.setup_runtime`` downgrades
     it to "aligned" on multi-device meshes.
     """
-    if (_ENABLED is False or stride != 1 or bn_groups != 1
-            or temp_kernel % 2 == 0):
+    if (_ENABLED is False or stride != 1 or temp_kernel % 2 == 0
+            or bn_groups < 1 or batch % bn_groups):
         return "off"
     if _ENABLED in ("pallas", "aligned"):
         return _ENABLED
