@@ -193,3 +193,22 @@ def test_host_sharding_partitions_files(shards):
         seen.append(set(labels))
     assert seen[0] | seen[1] == {0, 1, 2, 3}
     assert not (seen[0] & seen[1])
+
+
+def test_shuffle_buffer_decorrelates_order(shards):
+    """With the sample shuffle buffer, a training epoch emits records in a
+    different order than file order; without it (shuffle=False), eval-style
+    order is preserved (tested above)."""
+    cfg = _cfg()
+    def labels_with(seed):
+        loader = native_loader.NativeClipLoader(
+            cfg, is_training=True, seed=seed, num_threads=1, loop=False,
+            shuffle=True, shuffle_buffer=8)
+        out = []
+        for batch in loader(str(shards / "train-*"), batch_size=1):
+            out.append(int(batch["label"][0]))
+        return out
+    a, b = labels_with(1), labels_with(2)
+    assert len(a) == len(b) == 6
+    assert sorted(a) == sorted(b)      # same multiset of records
+    assert a != b                      # different order across seeds

@@ -112,7 +112,8 @@ class NativeClipLoader:
                  num_views: Optional[int] = None,
                  shuffle: Optional[bool] = None,
                  loop: Optional[bool] = None,
-                 host_id: int = 0, host_count: int = 1):
+                 host_id: int = 0, host_count: int = 1,
+                 shuffle_buffer: int = 64):
         if num_views is None:
             num_views = (1 if is_training
                          else cfg.TEST.NUM_TEMPORAL_VIEWS)
@@ -132,6 +133,10 @@ class NativeClipLoader:
         self._loop = is_training if loop is None else bool(loop)
         self._host_id = int(host_id)
         self._host_count = int(host_count)
+        # sample-level shuffle buffer (train): the C++ side shuffles the
+        # shard ORDER per epoch; this reservoir decorrelates neighbouring
+        # records within a shard, the analog of tf.data's shuffle(16*batch)
+        self._shuffle_buffer = int(shuffle_buffer) if self._shuffle else 0
 
     def __call__(self, file_pattern: str,
                  batch_size: int) -> Iterator[dict]:
@@ -161,26 +166,49 @@ class NativeClipLoader:
         if not handle:
             raise RuntimeError("x3d_loader_open failed")
         clips = 1 if self._train else self._views * self._crops
+        rng = np.random.default_rng(self._seed + 0x5bd1e995)
+        pool: list = []      # shuffle reservoir of (video, label) samples
         try:
             sample_bytes = lib.x3d_loader_sample_bytes(handle)
             assert sample_bytes == clips * T * S * S * 3
+
+            def pull(out_video):
+                """Fetch one sample into out_video; returns label or None."""
+                vptr = out_video.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_ubyte))
+                lab = ctypes.c_longlong()
+                rc = lib.x3d_loader_next(handle, vptr, ctypes.byref(lab))
+                if rc < 0:
+                    raise RuntimeError(
+                        lib.x3d_loader_error(handle).decode())
+                return lab.value if rc == 1 else None
+
+            def next_sample():
+                if not self._shuffle_buffer:
+                    v = np.empty((clips, T, S, S, 3), np.uint8)
+                    lab = pull(v)
+                    return None if lab is None else (v, lab)
+                while len(pool) < self._shuffle_buffer:
+                    v = np.empty((clips, T, S, S, 3), np.uint8)
+                    lab = pull(v)
+                    if lab is None:
+                        break
+                    pool.append((v, lab))
+                if not pool:
+                    return None
+                return pool.pop(int(rng.integers(len(pool))))
+
             while True:
                 video = np.empty((batch_size * clips, T, S, S, 3), np.uint8)
                 label = np.empty((batch_size,), np.int64)
                 got = 0
                 while got < batch_size:
-                    vptr = video[got * clips:(got + 1) * clips].ctypes \
-                        .data_as(ctypes.POINTER(ctypes.c_ubyte))
-                    lab = ctypes.c_longlong()
-                    rc = lib.x3d_loader_next(handle, vptr,
-                                             ctypes.byref(lab))
-                    if rc < 0:
-                        raise RuntimeError(
-                            lib.x3d_loader_error(handle).decode())
-                    if rc == 0:
+                    s = next_sample()
+                    if s is None:
                         return  # end of data: drop the partial batch,
                                 # matching drop_remainder=True
-                    label[got] = lab.value
+                    video[got * clips:(got + 1) * clips] = s[0]
+                    label[got] = s[1]
                     got += 1
                 yield {"video": video, "label": label}
         finally:
