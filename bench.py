@@ -118,12 +118,14 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     eval_step = make_eval_step(model)
 
     # steps chain through the tiny label tensor (a data dependency on the
-    # previous step's output) so they cannot overlap or fold; chaining
-    # through the video would double its multi-GB buffer
+    # previous step's output) so they cannot overlap; the optimization
+    # barrier makes the dependency un-foldable (a `* 0` chain could be
+    # algebraically simplified away).  Chaining through the video would
+    # double its multi-GB buffer.
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_chained(st, x, lab):
         out = eval_step(st, {"video": x, "label": lab})
-        lab = lab + (out["loss_sum"] * 0).astype(lab.dtype)
+        lab, _ = jax.lax.optimization_barrier((lab, out["loss_sum"]))
         return lab, out
 
     elabel, out = eval_chained(state, evideo, elabel)

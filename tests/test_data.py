@@ -6,6 +6,7 @@ modular-arithmetic sampler must select identical frame indices.
 """
 
 import os
+import types
 
 import numpy as np
 import pytest
@@ -276,6 +277,70 @@ def test_raw_video_decode_real_pixels(tmp_path):
     # frame 0 is pure red: after resize+crop the red channel dominates
     assert batch["video"][0, 0, :, :, 0].mean() > 200
     assert batch["video"][0, 0, :, :, 1].mean() < 50
+
+
+def test_decord_branch_with_standin(tmp_path):
+    """Execute the decord code path (reference ``dataloader.py:29-63``'s
+    actual backend) through an API-faithful in-memory stand-in: the real
+    library doesn't install in this container, but the branch's control
+    flow — seek-based sampled fetch, index plumbing, get_batch/asnumpy
+    conversion, zeros-on-failure — runs for real here."""
+    import sys
+
+    from x3d_tpu.data import video as video_mod
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+              (255, 0, 255), (0, 255, 255), (128, 0, 0), (0, 128, 0),
+              (0, 0, 128)]
+    frames = np.stack([np.full((40, 48, 3), c, np.uint8) for c in colors])
+    good_path = str(tmp_path / "clip.mp4")
+    calls = {}
+
+    class _Batch:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def asnumpy(self):
+            return self._arr
+
+    class _VideoReader:
+        def __init__(self, path, ctx=None):
+            if path != good_path:
+                raise RuntimeError(f"cannot open {path}")
+            calls["ctx"] = ctx
+
+        def __len__(self):
+            return len(frames)
+
+        def get_batch(self, indices):
+            calls["indices"] = list(indices)
+            return _Batch(frames[np.asarray(indices)])
+
+    fake = types.ModuleType("decord")
+    fake.VideoReader = _VideoReader
+    fake.cpu = lambda i: ("cpu", i)
+    sys.modules["decord"] = fake
+    try:
+        assert video_mod.available_backend() == "decord"
+
+        decoded = video_mod.decode_all_frames(good_path)
+        np.testing.assert_array_equal(decoded, frames)
+
+        sampler = TemporalSampler(is_training=False, sample_rate=2,
+                                  num_frames=4, num_views=1)
+        clip = video_mod.decode_frames_sampled(good_path, sampler)
+        # the decord branch must fetch ONLY the sampled frames (seek path):
+        # eval indices for size 9, T=4: stride max(1, 9//4)=2 -> 0,2,4,6
+        assert calls["indices"] == [0, 2, 4, 6]
+        assert calls["ctx"] == ("cpu", 0)
+        np.testing.assert_array_equal(clip, frames[[0, 2, 4, 6]])
+
+        # fault tolerance: unopenable video -> zero clip, no crash
+        bad = video_mod.decode_frames_sampled(str(tmp_path / "bad.mp4"),
+                                              sampler)
+        assert bad.dtype == np.uint8 and not bad.any()
+    finally:
+        del sys.modules["decord"]
 
 
 def test_kinetics400_vendored_metadata():

@@ -174,6 +174,50 @@ def test_sharded_checkpoint_roundtrip(setup, tmp_path, eight_devices):
     mgr.close()
 
 
+def test_step_cadence_checkpoint_midepoch_crash_resume(setup, tmp_path):
+    """--save_checkpoints_step parity (reference utils.py:128-132): a run
+    killed mid-epoch loses < N steps; resume recovers the exact
+    (epoch, step-in-epoch) point from the restored global step."""
+    from x3d_tpu.train.hooks import CheckpointHook
+
+    mgr = CheckpointManager(str(tmp_path / "stepckpt"))
+    hook = CheckpointHook(mgr, every_n_steps=2)
+
+    class Crash(Exception):
+        pass
+
+    def crashing_batches(n):
+        src = _batches()
+        for _ in range(n):
+            yield next(src)
+        raise Crash
+
+    # 4-step epochs, checkpoint every 2 steps, crash during step 4
+    with pytest.raises(Crash):
+        fit(setup["cfg"], setup["state"], setup["train_step"],
+            crashing_batches(3), steps_per_epoch=4, epochs=2,
+            rng=setup["rng"], hooks=[hook])
+    assert mgr.latest() == 2  # step-keyed save; lost 1 step < N=2
+
+    restored, key = mgr.restore(setup["state"])
+    assert key == 2
+    resume_step = int(restored.step)
+    assert resume_step == 2
+    # the train CLI derives the resume point exactly this way
+    initial_epoch, initial_step = resume_step // 4, resume_step % 4
+
+    rec = RecorderHook()
+    final = fit(setup["cfg"], restored, setup["train_step"], _batches(),
+                steps_per_epoch=4, epochs=1, rng=setup["rng"],
+                initial_epoch=initial_epoch,
+                initial_step_in_epoch=initial_step,
+                hooks=[rec, CheckpointHook(mgr, every_n_steps=2)])
+    assert rec.steps == [3, 4]          # only the lost tail replayed
+    assert int(final.step) == 4
+    assert mgr.latest() == 4            # epoch-end save, step-keyed, no dup
+    mgr.close()
+
+
 def test_profile_hook_capture(setup, tmp_path):
     """ProfileHook wraps one logging window in a jax.profiler trace."""
     import glob

@@ -206,6 +206,89 @@ def test_eval_step_sharded(eight_devices):
     assert float(out["count"]) == 8.0
 
 
+def _compiled_all_reduces(model, cfg, mesh, video, label, key):
+    """Compile the sharded train step and return its all-reduce instructions
+    as (is_forward, op_name, n_groups, group_size) tuples."""
+    import re
+
+    state = shard_state(
+        create_train_state(cfg, model, key, video, steps_per_epoch=2), mesh)
+    batch = shard_batch({"video": video, "label": label}, mesh)
+    step = jax.jit(make_train_step(model, cfg.NETWORK.WEIGHT_DECAY))
+    txt = step.lower(state, batch, key).compile().as_text()
+
+    out = []
+    for line in txt.splitlines():
+        if not re.search(r'\ball-reduce(-start)?\(', line):
+            continue
+        op_name = (re.search(r'op_name="([^"]*)"', line) or [None, ""])[1]
+        m = re.search(r'replica_groups=\{\{(.+?)\}\}', line)
+        if m:  # explicit groups {{0,1},{2,3},...}
+            groups = m.group(1).split("},{")
+            count = len(groups)
+            size = len(groups[0].split(","))
+        else:  # iota form [G,S]<=...
+            m = re.search(r'replica_groups=\[(\d+),(\d+)\]', line)
+            count, size = (int(m.group(1)), int(m.group(2))) if m else (0, 0)
+        out.append(("transpose(" not in op_name, op_name, count, size))
+    return out
+
+
+def test_compiled_hlo_collectives(eight_devices):
+    """Verify the SPMD claims at the HLO level (not just numerically):
+
+    (a) with per-replica BN (``TPU.SYNC_BN=False`` -> ``bn_groups=data``)
+        NO collective is attributable to BN statistics — the zero-ICI claim
+        of ``GroupedBatchNorm`` (models/x3d.py) — in both the plain and the
+        aligned bottleneck modes;
+    (b) gradient all-reduces exist (synchronous data parallelism is real);
+    (c) the tensor-parallel head inserts exactly one forward all-reduce —
+        fc_2's row-sharded matmul partial sums — over the model-axis groups
+        (fc_1's column-sharded matmul needs none).
+    """
+    from x3d_tpu.ops import dw_fused
+
+    mesh = create_mesh(data=4, model=2, devices=eight_devices)
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((8, 4, 16, 16, 3))
+    label = jnp.arange(8) % 16
+    sync = create_model(cfg, dtype=jnp.float32)
+    grouped = create_model(cfg, dtype=jnp.float32, bn_groups=4)
+
+    def forward_in_model(ars):
+        # forward-pass all-reduces inside the X3D scope (BN statistics and
+        # anything else crossing the batch axis in the model itself)
+        return [a for a in ars if a[0] and "X3D)/" in a[1]]
+
+    ars_sync = _compiled_all_reduces(sync, cfg, mesh, video, label, key)
+    ars_grp = _compiled_all_reduces(grouped, cfg, mesh, video, label, key)
+    old = dw_fused._ENABLED
+    try:
+        dw_fused.set_enabled("aligned")
+        ars_grp_al = _compiled_all_reduces(grouped, cfg, mesh, video, label,
+                                           key)
+    finally:
+        dw_fused.set_enabled(old)
+
+    # detection is not vacuous: sync BN really does all-reduce its stats
+    sync_bn = [a for a in forward_in_model(ars_sync) if "/norm/" in a[1]]
+    assert len(sync_bn) >= 5, ars_sync
+
+    for name, ars in [("plain", ars_grp), ("aligned", ars_grp_al)]:
+        fwd = forward_in_model(ars)
+        # (c) exactly one forward in-model all-reduce: the fc_2 TP reduce,
+        # over the model axis (4 groups of 2 on the 4x2 mesh)
+        assert len(fwd) == 1, (name, fwd)
+        is_fwd, op_name, n_groups, group_size = fwd[0]
+        assert "fc_2" in op_name, (name, fwd)
+        assert (n_groups, group_size) == (4, 2), (name, fwd)
+        # (a) nothing BN-statistics-shaped crosses the ICI
+        assert not any("/norm/" in a[1] for a in fwd), (name, fwd)
+        # (b) gradient all-reduces exist
+        assert any(not a[0] for a in ars), name
+
+
 def test_aligned_mode_sharded_matches_unfused(eight_devices):
     """The "aligned" bottleneck mode is plain XLA ops and must be SPMD-safe:
     a sharded train step under it produces the same loss/metrics as the

@@ -5,6 +5,12 @@ not always available; this module probes, in order: decord, imageio (pyav /
 ffmpeg plugins), and raises a clear error naming the options if none exist.
 Matching the reference's fault tolerance, an undecodable video yields a zero
 clip instead of crashing the input pipeline (``dataloader.py:53-61``).
+
+Test-coverage note: the build container has neither decord nor pyav, so the
+decord branch has never run against the real library here.  Its control
+flow (seek-based sampled fetch, index plumbing, zeros-on-failure) IS
+executed in ``tests/test_data.py`` through an API-faithful in-memory decord
+stand-in; the imageio branch is exercised on real encoded pixels.
 """
 
 from __future__ import annotations

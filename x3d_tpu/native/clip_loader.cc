@@ -563,7 +563,9 @@ class Loader {
         const FrameRef& fr = pr.frames[fi];
         if (!DecodeJpeg(fr.data, fr.size, target_short, &full)) {
           // reference fault-tolerance: undecodable video -> zero clip with
-          // its label (dataloader.py:53-61); s->video is already zeroed
+          // its label (dataloader.py:53-61); frames decoded before this
+          // failure were already written, so re-zero the whole buffer
+          s->video.assign(sample_bytes(), 0);
           return true;
         }
         // long side floors, like the pipeline's _short_side_resize

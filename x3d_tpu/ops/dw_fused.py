@@ -408,6 +408,11 @@ def _dims(x, kernel):
     kt, kh, kw = kernel.shape[:3]
     if kt % 2 == 0 or kh % 2 == 0 or kw % 2 == 0:
         raise ValueError("dw_fused supports odd kernel dims only")
+    if T < kt:
+        # the plane schedule's static t==0 DMA starts assume planes
+        # 0..kt-1-lo_t exist; T < kt would read out of bounds of the
+        # (T,H,W,C,B) HBM buffer (all X3D variants have T >= kt)
+        raise ValueError(f"dw_fused requires T >= kt (got T={T}, kt={kt})")
     return B, T, H, W, C, kt, kh, kw
 
 
@@ -522,6 +527,14 @@ def dw_bn_act_conv(x, a_cb, b_cb, kernel):
 
     Returns:
       y: (B, T, H, W, C) in x.dtype;  p, s2: (C, B) f32.
+
+    Gradient caveat: the backward reconstructs x from the stored
+    activation u = relu(a*x + b), so wherever a BN scale column is exactly
+    zero the a-gradient is forced to 0 (the reconstruction x = (u-b)/a is
+    undefined).  A scale that reaches exactly 0 therefore cannot recover
+    under this opt-in pallas mode; the default unfused/aligned paths have
+    the true gradient.  (Never observed in practice — BN gammas init at 1
+    and L2 never drives them exactly to 0 in finite steps.)
     """
     return _run_fwd(x, a_cb, b_cb, kernel)
 

@@ -122,6 +122,11 @@ def main(_):
         state = mgr.restore_weights_only(state)
         log.info("restored weights from epoch %d", mgr.latest_epoch())
 
+    # W&B eval-job parity (reference eval.py:37-45 opens a job_type='eval'
+    # run so evaluation results land in the project)
+    from x3d_tpu.train.hooks import WandbHook
+    wandb_hook = WandbHook(cfg, job_type="eval", log_dir=FLAGS.model_folder)
+
     from x3d_tpu.utils import tpu_compiler_options
     eval_step = jax.jit(make_eval_step(model),
                         compiler_options=tpu_compiler_options())
@@ -131,6 +136,8 @@ def main(_):
         profile_dir=os.path.join(FLAGS.model_folder, "eval_profile"))
     log.info("eval: %s", metrics)
     print(json.dumps({k: round(float(v), 6) for k, v in metrics.items()}))
+    wandb_hook.log_metrics(metrics)
+    wandb_hook.on_train_end()
     mgr.close()
 
 

@@ -34,7 +34,10 @@ flags.DEFINE_integer("num_gpus", 0,
                      "Number of chips to use (0 = all local devices).",
                      lower_bound=0)
 flags.DEFINE_integer("save_checkpoints_step", None,
-                     "TensorBoard scalar cadence in steps.", lower_bound=0)
+                     "Checkpoint + TensorBoard cadence in steps (the "
+                     "reference's utils.py:123-132 uses this one flag for "
+                     "both ModelCheckpoint save_freq and TB update_freq).",
+                     lower_bound=0)
 flags.DEFINE_bool("mixed_precision", True, "bf16 compute (TPU native).")
 flags.DEFINE_bool("use_tfrecord", False,
                   "Data is TFRecord shards (vs a label text file).")
@@ -141,9 +144,18 @@ def main(_):
     state = shard_state(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(FLAGS.model_dir, "checkpoints"))
-    state, initial_epoch = ckpt.restore(state)
-    if initial_epoch:
-        log.info("resumed from epoch %d", initial_epoch)
+    state, restored_key = ckpt.restore(state)
+    initial_epoch = initial_step_in_epoch = 0
+    if restored_key:
+        # The restored optimizer step is authoritative (works for both
+        # step-keyed and historical epoch-keyed checkpoints); the LR
+        # schedule resumes correctly because the optax schedule count is
+        # part of the restored opt_state.
+        resume_step = int(jax.device_get(state.step))
+        initial_epoch = resume_step // steps_per_epoch
+        initial_step_in_epoch = resume_step % steps_per_epoch
+        log.info("resumed at global step %d (epoch %d, step-in-epoch %d)",
+                 resume_step, initial_epoch, initial_step_in_epoch)
     elif FLAGS.pretrained_ckpt:
         state = ckpt.restore_weights_only(state, FLAGS.pretrained_ckpt)
         log.info("warm-started from %s", FLAGS.pretrained_ckpt)
@@ -174,7 +186,7 @@ def main(_):
         LoggingHook(log_every=FLAGS.save_checkpoints_step or 50),
         TensorBoardHook(FLAGS.model_dir,
                         update_freq=FLAGS.save_checkpoints_step or 50),
-        CheckpointHook(ckpt),
+        CheckpointHook(ckpt, every_n_steps=FLAGS.save_checkpoints_step),
     ]
     if FLAGS.profile_batch:
         hooks.append(ProfileHook(FLAGS.model_dir, FLAGS.profile_batch))
@@ -196,6 +208,7 @@ def main(_):
         val_batches_fn=val_fn,
         hooks=hooks,
         metrics_every=FLAGS.save_checkpoints_step or 50,
+        initial_step_in_epoch=initial_step_in_epoch,
     )
     ckpt.close()
 

@@ -1,14 +1,19 @@
 """Checkpoint save / resume on Orbax.
 
 Reference counterparts: Keras ``ModelCheckpoint`` writing ``ckpt-{epoch}``
-every epoch (``utils.py:128-132``), resume by parsing the epoch out of the
-latest filename (``train.py:131-137``), pretrained warm-start
-(``train.py:138-143``), and eval's tolerant restore (``eval.py:78-81``).
+every epoch *or every N steps* (``utils.py:128-132``, ``--save_checkpoints_step``
+at ``train.py:24``), resume by parsing the epoch out of the latest filename
+(``train.py:131-137``), pretrained warm-start (``train.py:138-143``), and
+eval's tolerant restore (``eval.py:78-81``).
 
-Here the epoch is first-class step metadata (no filename parsing), the
-checkpoint holds the *entire* functional state (params, BN stats, optimizer
-slots, step counter), and restores are sharding-aware: when a mesh is
-passed, arrays restore directly into their NamedSharding layout.
+Here the save key is an arbitrary monotonically-increasing integer — the
+training CLI keys by the **global optimizer step** so both epoch-end and
+mid-epoch (step-cadence) saves coexist in one manager and resume recovers
+the exact (epoch, step-in-epoch) point from the restored ``state.step``
+(no filename parsing).  The checkpoint holds the *entire* functional state
+(params, BN stats, optimizer slots, step counter), and restores are
+sharding-aware: when a mesh is passed, arrays restore directly into their
+NamedSharding layout.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ def _state_to_pytree(state) -> dict:
 
 
 class CheckpointManager:
-    """Epoch-granular checkpoint manager for TrainState."""
+    """TrainState checkpoint manager (keys: any increasing int save id)."""
 
     def __init__(self, directory: str, max_to_keep: int = 5):
         self._dir = os.path.abspath(directory)
@@ -42,21 +47,31 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, epoch: int, state) -> None:
-        """Persist the full train state under the (1-based) epoch number."""
+    def save(self, key: int, state) -> None:
+        """Persist the full train state under an integer save id.
+
+        The training CLI uses the global optimizer step as the key; the
+        historical epoch-keyed layout restores identically (resume reads
+        the epoch/step from the restored ``state.step``, never the key).
+        """
         self._mgr.save(
-            epoch,
+            key,
             args=ocp.args.StandardSave(_state_to_pytree(state)),
         )
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        """Latest save key (named for the historical epoch-keyed layout)."""
         return self._mgr.latest_step()
+
+    latest = latest_epoch
 
     def restore(self, state, epoch: Optional[int] = None):
         """Restore into a template TrainState (shapes/shardings from it).
 
-        Returns (state, epoch); (state, 0) if nothing to restore.
+        Returns (state, key); (state, 0) if nothing to restore.  Callers
+        should derive the resume point from ``state.step`` (the global
+        optimizer step), not from the key.
         """
         epoch = epoch if epoch is not None else self.latest_epoch()
         if epoch is None:

@@ -20,6 +20,10 @@ log = logging.getLogger(__name__)
 class Hook:
     def on_epoch_start(self, epoch: int, lr: float) -> None: ...
     def on_step(self, step: int, metrics: Dict[str, float]) -> None: ...
+    def on_step_end(self, step: int, state) -> None:
+        """Fires EVERY step with the live TrainState (a device handle —
+        touching it is free; fetching it synchronises).  ``on_step`` by
+        contrast fires only at the host metric-materialisation cadence."""
     def on_epoch_end(self, epoch: int, state,
                      train_metrics: Dict[str, float],
                      val_metrics: Optional[Dict[str, float]]) -> None: ...
@@ -124,13 +128,40 @@ class ProfileHook(Hook):
 
 
 class CheckpointHook(Hook):
-    """Save the full TrainState at every epoch end (ModelCheckpoint analog)."""
+    """Save the full TrainState — the ModelCheckpoint analog.
 
-    def __init__(self, manager):
+    Two cadences, matching the reference's ``ModelCheckpoint(save_freq=...)``
+    (``utils.py:128-132``; flag at ``train.py:24``):
+
+    * every epoch end (``save_freq='epoch'``, the default), and
+    * every ``every_n_steps`` global steps when set
+      (``--save_checkpoints_step N``), so a crash at K400 scale
+      (~1,800 steps/epoch on X3D-M) loses at most N steps, not an epoch.
+
+    Checkpoints are keyed by the **global optimizer step** (``state.step``),
+    so resume recovers the exact (epoch, step-in-epoch, LR-schedule) point —
+    the Orbax-native replacement for the reference's ``ckpt-{epoch}``
+    filename parsing (``train.py:131-137``).
+    """
+
+    def __init__(self, manager, every_n_steps: Optional[int] = None):
         self._mgr = manager
+        self._every = every_n_steps
+        self._last_saved = -1
+
+    def on_step_end(self, step, state):
+        if self._every and step % self._every == 0 and step != self._last_saved:
+            self._mgr.save(step, state)
+            self._last_saved = step
+            log.info("checkpoint saved at step %d", step)
 
     def on_epoch_end(self, epoch, state, train_metrics, val_metrics):
-        self._mgr.save(epoch, state)
+        import jax
+
+        step = int(jax.device_get(state.step))
+        if step != self._last_saved:
+            self._mgr.save(step, state)
+            self._last_saved = step
 
 
 class WandbHook(Hook):
@@ -152,6 +183,7 @@ class WandbHook(Hook):
                  checkpoint_dir: Optional[str] = None):
         self._run = None
         self._ckpt_dir = checkpoint_dir
+        self._uploaded: Dict[str, float] = {}  # path -> mtime at upload
         if not cfg.WANDB.ENABLE:
             return
         try:
@@ -180,28 +212,44 @@ class WandbHook(Hook):
             self._wandb.log({f"train/{k}": v for k, v in metrics.items()},
                             step=step)
 
+    def log_metrics(self, metrics: Dict[str, float],
+                    prefix: str = "eval") -> None:
+        """One-shot metric log — used by the eval CLI (the analog of the
+        reference's ``job_type='eval'`` run, ``eval.py:37-45``, whose
+        results land in the W&B project)."""
+        if self._run:
+            self._wandb.log({f"{prefix}/{k}": float(v)
+                             for k, v in metrics.items()})
+
     def on_epoch_end(self, epoch, state, train_metrics, val_metrics):
         if not self._run:
             return
         if val_metrics:
             self._wandb.log({f"val/{k}": v for k, v in val_metrics.items()})
         if self._ckpt_dir:
-            # WandbCallback(save_weights_only=True) analog: stage the new
-            # checkpoint's files into the run (uploaded on finish/offline
-            # sync; base_path keeps the relative layout)
+            # WandbCallback(save_weights_only=True) analog: stage the
+            # epoch's NEW checkpoint files into the run (uploaded on
+            # finish/offline sync; base_path keeps the relative layout).
+            # Only the per-epoch delta is staged — re-saving every file each
+            # epoch would grow O(epochs x files) — and one failed save skips
+            # that file, not the rest.
             import glob
             import os
 
             for f in glob.glob(os.path.join(self._ckpt_dir, "**"),
                                recursive=True):
-                if os.path.isfile(f):
-                    try:
-                        self._wandb.save(
-                            f, base_path=os.path.dirname(self._ckpt_dir),
-                            policy="live")
-                    except Exception as e:  # pragma: no cover
-                        log.warning("wandb.save(%s) failed: %s", f, e)
-                        return
+                if not os.path.isfile(f):
+                    continue
+                mtime = os.path.getmtime(f)
+                if self._uploaded.get(f) == mtime:
+                    continue
+                try:
+                    self._wandb.save(
+                        f, base_path=os.path.dirname(self._ckpt_dir),
+                        policy="live")
+                    self._uploaded[f] = mtime
+                except Exception as e:  # pragma: no cover
+                    log.warning("wandb.save(%s) failed: %s", f, e)
 
     def on_train_end(self):
         if self._run:

@@ -84,11 +84,15 @@ def fit(
     val_batches_fn: Optional[Callable[[], Iterable[dict]]] = None,
     hooks: Sequence[Hook] = (),
     metrics_every: int = 1,
+    initial_step_in_epoch: int = 0,
 ):
     """Run the training loop; returns the final state.
 
     ``val_batches_fn`` is called at each epoch end to produce a fresh
     validation iterator (mirrors Keras re-iterating validation_data).
+
+    ``initial_step_in_epoch``: resume offset within ``initial_epoch`` (used
+    by step-cadence checkpoint resume; the remaining epochs start at 0).
 
     ``metrics_every``: device->host metric materialisation cadence.  A host
     fetch synchronises the async dispatch pipeline (and on remote TPU
@@ -102,7 +106,8 @@ def fit(
             h.on_epoch_start(epoch, lr)
 
         last_metrics: Dict[str, float] = {}
-        for i in range(steps_per_epoch):
+        start_i = initial_step_in_epoch if epoch == initial_epoch else 0
+        for i in range(start_i, steps_per_epoch):
             batch = next(train_batches)
             state, metrics = train_step(state, batch, rng)
             step = epoch * steps_per_epoch + i + 1
@@ -111,6 +116,10 @@ def fit(
                 last_metrics = host_metrics
                 for h in hooks:
                     h.on_step(step, host_metrics)
+            for h in hooks:
+                # every step, with the live device-side state (checkpoint
+                # cadence is independent of the metric-fetch cadence)
+                h.on_step_end(step, state)
 
         val_metrics = None
         if eval_step is not None and val_batches_fn is not None:
