@@ -178,6 +178,10 @@ def main() -> None:
         "vs_baseline": round(
             m["train_clips_per_sec_per_chip"] / n_chips
             / BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP, 3),
+        "baseline_note": (
+            "ratio vs an engineering ESTIMATE of 30 train clips/s per "
+            "V100 (the reference publishes no throughput numbers); the "
+            "defensible claim is the absolute per-chip table below"),
         "infer_clips_per_sec_per_chip": round(
             m["infer_clips_per_sec_per_chip"] / n_chips, 2),
         "train_step_ms": m["train_step_ms"],

@@ -212,3 +212,37 @@ def test_shuffle_buffer_decorrelates_order(shards):
     assert len(a) == len(b) == 6
     assert sorted(a) == sorted(b)      # same multiset of records
     assert a != b                      # different order across seeds
+
+
+def test_shard_interleave_mixes_sources(tmp_path):
+    """The C++ reader's two-level shuffle (RecordReader: per-epoch shard
+    reshuffle + 8-way random shard interleave, the tf.data nondeterministic
+    parallel-interleave analog of reference dataloader.py:153-159) must mix
+    records from many shards even with the Python reservoir disabled."""
+    cfg = _cfg()
+    n_shards, per_shard = 12, 4
+    videos = []
+    for s in range(n_shards):
+        for _ in range(per_shard):
+            videos.append((_flat_video(20, base=5 * s), s))  # label = shard
+    # videos_per_record groups consecutive entries -> shard s holds label s
+    write_video_array_shards(videos, str(tmp_path), prefix="mix",
+                             videos_per_record=per_shard)
+
+    loader = native_loader.NativeClipLoader(
+        cfg, is_training=True, seed=3, num_threads=1, loop=False,
+        shuffle=True, shuffle_buffer=0)
+    labels = []
+    for batch in loader(str(tmp_path / "mix-*"), batch_size=1):
+        labels.append(int(batch["label"][0]))
+
+    # exactly-once coverage of a finite (non-loop) epoch
+    assert sorted(labels) == sorted(s for s in range(n_shards)
+                                    for _ in range(per_shard))
+    # a sequential reader would emit 8 consecutive same-shard records at
+    # the front; the 8-way interleave draws from many shards immediately
+    assert len(set(labels[:8])) >= 4, labels[:8]
+    # and no shard monopolises any window of 2*per_shard consecutive reads
+    for i in range(0, len(labels) - 2 * per_shard):
+        window = labels[i:i + 2 * per_shard]
+        assert len(set(window)) >= 2, (i, window)

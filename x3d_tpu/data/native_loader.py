@@ -113,7 +113,8 @@ class NativeClipLoader:
                  shuffle: Optional[bool] = None,
                  loop: Optional[bool] = None,
                  host_id: int = 0, host_count: int = 1,
-                 shuffle_buffer: int = 64):
+                 shuffle_buffer: Optional[int] = None,
+                 shuffle_buffer_bytes: int = 1 << 30):
         if num_views is None:
             num_views = (1 if is_training
                          else cfg.TEST.NUM_TEMPORAL_VIEWS)
@@ -133,10 +134,16 @@ class NativeClipLoader:
         self._loop = is_training if loop is None else bool(loop)
         self._host_id = int(host_id)
         self._host_count = int(host_count)
-        # sample-level shuffle buffer (train): the C++ side shuffles the
-        # shard ORDER per epoch; this reservoir decorrelates neighbouring
-        # records within a shard, the analog of tf.data's shuffle(16*batch)
-        self._shuffle_buffer = int(shuffle_buffer) if self._shuffle else 0
+        # Sample-level shuffle reservoir (train) — the third shuffle level
+        # on top of the C++ side's per-epoch shard reshuffle and 8-way
+        # random shard interleave (clip_loader.cc RecordReader).  Depth
+        # defaults to the reference's shuffle(16 * batch) analog
+        # (dataloader.py:159), capped so the buffer of DECODED clips stays
+        # under ``shuffle_buffer_bytes`` (1 GiB default; the reference
+        # buffers serialized records, which are several MB each for K400,
+        # so its effective memory footprint is comparable).
+        self._shuffle_buffer = shuffle_buffer
+        self._shuffle_buffer_bytes = int(shuffle_buffer_bytes)
 
     def __call__(self, file_pattern: str,
                  batch_size: int) -> Iterator[dict]:
@@ -168,6 +175,14 @@ class NativeClipLoader:
         clips = 1 if self._train else self._views * self._crops
         rng = np.random.default_rng(self._seed + 0x5bd1e995)
         pool: list = []      # shuffle reservoir of (video, label) samples
+        if not self._shuffle:
+            depth = 0
+        elif self._shuffle_buffer is not None:
+            depth = int(self._shuffle_buffer)
+        else:
+            per_sample = clips * T * S * S * 3
+            depth = min(16 * batch_size,
+                        max(64, self._shuffle_buffer_bytes // per_sample))
         try:
             sample_bytes = lib.x3d_loader_sample_bytes(handle)
             assert sample_bytes == clips * T * S * S * 3
@@ -184,11 +199,11 @@ class NativeClipLoader:
                 return lab.value if rc == 1 else None
 
             def next_sample():
-                if not self._shuffle_buffer:
+                if not depth:
                     v = np.empty((clips, T, S, S, 3), np.uint8)
                     lab = pull(v)
                     return None if lab is None else (v, lab)
-                while len(pool) < self._shuffle_buffer:
+                while len(pool) < depth:
                     v = np.empty((clips, T, S, S, 3), np.uint8)
                     lab = pull(v)
                     if lab is None:

@@ -51,28 +51,46 @@ namespace {
 
 // ----------------------------------------------------------- TFRecord I/O
 
+// Streams TFRecords from shards.  Eval (shuffle=false): one shard at a
+// time, in order — deterministic.  Train (shuffle=true): a two-level
+// shuffle — shard order reshuffled per epoch AND each record drawn from
+// one of up to kInterleave concurrently open shards picked uniformly at
+// random (the analog of tf.data's nondeterministic parallel interleave,
+// reference dataloader.py:153-159), so neighbouring output records come
+// from different shards even before the sample-level reservoir in
+// data/native_loader.py.  All picks ride one seeded RNG under the caller's
+// reader lock, so output order is deterministic given the seed.
 class RecordReader {
  public:
+  static constexpr int kInterleave = 8;
+
   RecordReader(std::vector<std::string> paths, bool loop, bool shuffle,
                uint64_t seed)
       : paths_(std::move(paths)), loop_(loop), shuffle_(shuffle),
         rng_(seed ^ 0x9e3779b97f4a7c15ull) {
     if (shuffle_) std::shuffle(paths_.begin(), paths_.end(), rng_);
   }
-  ~RecordReader() { close(); }
+  ~RecordReader() { close_all(); }
 
   // Returns false at end of data (only when loop == false).
   bool next(std::string* out, std::string* err) {
+    const int want = shuffle_ ? kInterleave : 1;
     for (;;) {
-      if (!f_ && !open_next(err)) return false;
+      while (int(streams_.size()) < want && have_next_path()) {
+        if (!open_next(err)) return false;
+      }
+      if (streams_.empty()) return false;  // end of data
+      size_t i = streams_.size() == 1 ? 0 : rng_() % streams_.size();
+      gzFile f = streams_[i].f;
       uint8_t hdr[12];
-      int n = gzread(f_, hdr, 12);
-      if (n == 0) {  // clean EOF -> next file
-        close();
+      int n = gzread(f, hdr, 12);
+      if (n == 0) {  // clean EOF -> drop this stream, open the next shard
+        gzclose(f);
+        streams_.erase(streams_.begin() + ptrdiff_t(i));
         continue;
       }
       if (n != 12) {
-        *err = "truncated record header in " + paths_[cur_];
+        *err = "truncated record header in " + streams_[i].path;
         return false;
       }
       uint64_t len;
@@ -82,9 +100,9 @@ class RecordReader {
         return false;
       }
       out->resize(len + 4);  // payload + trailing crc
-      if (gzread(f_, out->data(), static_cast<unsigned>(len + 4)) !=
+      if (gzread(f, out->data(), static_cast<unsigned>(len + 4)) !=
           static_cast<int>(len + 4)) {
-        *err = "truncated record payload in " + paths_[cur_];
+        *err = "truncated record payload in " + streams_[i].path;
         return false;
       }
       out->resize(len);
@@ -93,32 +111,41 @@ class RecordReader {
   }
 
  private:
-  bool open_next(std::string* err) {
-    if (next_ >= paths_.size()) {
-      if (!loop_ || paths_.empty()) return false;
-      next_ = 0;
-      epoch_++;
-      if (shuffle_) std::shuffle(paths_.begin(), paths_.end(), rng_);
-    }
-    cur_ = next_++;
-    f_ = gzopen(paths_[cur_].c_str(), "rb");
-    if (!f_) {
-      *err = "cannot open " + paths_[cur_];
-      return false;
-    }
-    gzbuffer(f_, 1 << 20);
+  struct Stream {
+    gzFile f;
+    std::string path;
+  };
+
+  bool have_next_path() {
+    if (next_ < paths_.size()) return true;
+    if (!loop_ || paths_.empty()) return false;
+    next_ = 0;
+    epoch_++;
+    if (shuffle_) std::shuffle(paths_.begin(), paths_.end(), rng_);
     return true;
   }
-  void close() {
-    if (f_) gzclose(f_);
-    f_ = nullptr;
+
+  bool open_next(std::string* err) {
+    const std::string& p = paths_[next_++];
+    gzFile f = gzopen(p.c_str(), "rb");
+    if (!f) {
+      *err = "cannot open " + p;
+      return false;
+    }
+    gzbuffer(f, 1 << 20);
+    streams_.push_back(Stream{f, p});
+    return true;
+  }
+  void close_all() {
+    for (auto& s : streams_) gzclose(s.f);
+    streams_.clear();
   }
 
   std::vector<std::string> paths_;
   bool loop_, shuffle_;
   std::mt19937_64 rng_;
-  size_t next_ = 0, cur_ = 0, epoch_ = 0;
-  gzFile f_ = nullptr;
+  size_t next_ = 0, epoch_ = 0;
+  std::vector<Stream> streams_;
 };
 
 // ------------------------------------------------- SequenceExample parse

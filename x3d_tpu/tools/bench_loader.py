@@ -6,6 +6,15 @@ identical sampling/transform settings.
 
     python -m x3d_tpu.tools.bench_loader --videos=64 --frames=64 \
         --height=240 --width=320 [--config=...yaml] [--batches=8]
+
+``--step_rate`` sizes the loader against a training step rate (clips/s/
+chip, e.g. the bench.py X3D-M figure): the tool prints per-thread decode
+throughput and the host cores needed to keep the accelerator fed — the
+loader's worker pool scales linearly in cores, so cores_needed =
+step_rate / (clips/s/thread).  This is the measurement shape behind the
+"input pipeline never the bottleneck" target (BASELINE.md): a production
+TPU-VM host has tens to hundreds of cores against the single core of
+this build container.
 """
 
 from __future__ import annotations
@@ -25,6 +34,9 @@ def main(argv=None):
     flags.DEFINE_integer("batch", 8, "Clips per batch.")
     flags.DEFINE_integer("batches", 8, "Batches to time per pipeline.")
     flags.DEFINE_integer("threads", 0, "Native worker threads (0 = auto).")
+    flags.DEFINE_float("step_rate", 0.0,
+                       "Training step rate (clips/s/chip) to size the "
+                       "loader against; prints a JSON sizing line.")
     FLAGS = flags.FLAGS
 
     def run(_):
@@ -53,6 +65,10 @@ def main(argv=None):
         n_clips = FLAGS.batch * FLAGS.batches
 
         def timed(name, iterator):
+            # one warm-up batch first: covers graph build (tf.data) and
+            # shuffle-buffer prefill (both pipelines), so the clocked
+            # window measures steady-state decode throughput
+            next(iterator)
             t0 = time.perf_counter()
             for i, batch in enumerate(iterator):
                 assert batch["video"].dtype == np.uint8
@@ -74,6 +90,24 @@ def main(argv=None):
             native_cps = timed("native C++",
                                iter(loader(pattern, FLAGS.batch)))
             print(f"native/tf.data: {native_cps / tf_cps:.2f}x")
+            if FLAGS.step_rate:
+                import json
+                import os
+
+                # per-thread rate: measured with a 1-thread pool so the
+                # figure is a true per-core number even on a loaded host
+                solo = native_loader.NativeClipLoader(
+                    cfg, is_training=True, seed=0, num_threads=1)
+                solo_cps = timed("native x1thr",
+                                 iter(solo(pattern, FLAGS.batch)))
+                print(json.dumps({
+                    "native_clips_per_sec": round(native_cps, 1),
+                    "native_clips_per_sec_per_thread": round(solo_cps, 1),
+                    "step_rate_clips_per_sec": FLAGS.step_rate,
+                    "cores_needed_for_step_rate":
+                        round(FLAGS.step_rate / solo_cps, 1),
+                    "host_cores": os.cpu_count(),
+                }))
         else:
             print("native loader unavailable:",
                   native_loader.build_error())
