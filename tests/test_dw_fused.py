@@ -26,7 +26,7 @@ def _inputs(key, B, T, H, W, C, kdims):
 
 
 @pytest.mark.parametrize("kdims", [(3, 3, 3), (3, 1, 1), (5, 3, 3)])
-@pytest.mark.parametrize("shape", [(4, 3, 6, 5, 7), (2, 5, 4, 9, 3)])
+@pytest.mark.parametrize("shape", [(4, 5, 6, 5, 7), (2, 5, 4, 9, 3)])
 def test_forward_matches_reference(kdims, shape):
     x, a, b, k = _inputs(jax.random.PRNGKey(0), *shape, kdims)
     y, p, s2 = dw_fused.dw_bn_act_conv(x, a, b, k)
@@ -36,6 +36,14 @@ def test_forward_matches_reference(kdims, shape):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r), rtol=1e-5,
                                atol=1e-3)
+
+
+def test_rejects_temporal_extent_below_kernel():
+    """T < kt would make the static t==0 plane DMAs read out of bounds —
+    dw_bn_act_conv must refuse (ADVICE r2: guard, not UB)."""
+    x, a, b, k = _inputs(jax.random.PRNGKey(0), 2, 3, 6, 5, 4, (5, 3, 3))
+    with pytest.raises(ValueError, match="T >= kt"):
+        dw_fused.dw_bn_act_conv(x, a, b, k)
 
 
 @pytest.mark.parametrize("kdims", [(3, 3, 3), (3, 1, 1)])

@@ -171,3 +171,36 @@ def test_depthwise_explicit_padding():
                                               impl="xla"))(x, w)
     assert a.shape == x.shape
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["block", "stage", "convs"])
+def test_remat_modes_match_no_remat(mode):
+    """Every remat granularity (models/x3d.py: "block" per-res-block,
+    "stage" per-stage, "convs" names-policy keeping conv outputs) computes
+    the same loss and gradients as the un-remat'ed model — remat must only
+    trade memory for recompute, never change values."""
+    from x3d_tpu.train import create_train_state, make_train_step
+
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    video = jax.random.normal(key, (4,) + CLIP)
+    label = jnp.arange(4) % cfg.NETWORK.NUM_CLASSES
+    batch = {"video": video, "label": label}
+
+    def step_with(remat):
+        model = create_model(cfg, dtype=jnp.float32, remat=remat)
+        state = create_train_state(cfg, model, key, video, steps_per_epoch=2)
+        step = make_train_step(model, cfg.NETWORK.WEIGHT_DECAY)
+        return jax.jit(step)(state, batch, key)
+
+    s_ref, m_ref = step_with(False)
+    s_got, m_got = step_with(mode)
+    np.testing.assert_allclose(float(m_got["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_got.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # identical variable trees (remat wrappers must not change names)
+    assert (jax.tree_util.tree_structure(s_got.params)
+            == jax.tree_util.tree_structure(s_ref.params))

@@ -231,8 +231,15 @@ def _build_default() -> CfgNode:
     c.TPU.COMPUTE_DTYPE = "bfloat16"     # conv compute dtype under jit
     c.TPU.MESH_DATA = -1                 # -1: all devices on the data axis
     c.TPU.MESH_MODEL = 1                 # tensor-parallel axis for the head
-    c.TPU.REMAT = "auto"                 # per-block remat: True/False/"auto"
-                                         # (auto = only 312^2 variants)
+    c.TPU.REMAT = "auto"                 # remat: True/False/"auto" or a
+                                         # granularity "block"/"stage"/
+                                         # "convs" (auto = per-block for
+                                         # the 312^2 variants only)
+    c.TPU.TIME_FOLD = False              # time-folded (B*T,1,H,W,C) layout
+                                         # for sub-128-lane batches (L/XL):
+                                         # True/False/"auto" (auto = TPU +
+                                         # B%128!=0 + (B*T)%128==0); see
+                                         # models/x3d.py X3D.time_fold
     c.TPU.FUSED_DW = "auto"              # fused BN+ReLU+depthwise Pallas
                                          # kernel (ops/dw_fused.py):
                                          # True/False/"auto" (auto = TPU,

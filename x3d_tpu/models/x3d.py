@@ -326,6 +326,7 @@ class Stem(nn.Module):
     bn_eps: float
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    fold_T: int = 0      # >0: time-folded (B·T, 1, H, W, C) activations
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -349,6 +350,7 @@ class Stem(nn.Module):
             strides=(1, 1, 1),
             padding=((k // 2, k // 2), (0, 0), (0, 0)),
             dtype=self.dtype,
+            fold_T=self.fold_T,
             name="conv_t",
         )(x)
         x = _BN(self.bn_momentum, self.bn_eps, self.dtype,
@@ -366,12 +368,21 @@ class SqueezeExcite(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
     gate_pad: int = 0    # zero-pad the gate to a channel-tile-padded x
+    fold_T: int = 0      # >0: x is time-folded (B·T, 1, H, W, C)
 
     @nn.compact
-    def __call__(self, x, pooled=None):
+    def __call__(self, x, pooled=None, return_gate: bool = False):
         if pooled is None:
-            pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3),
-                              keepdims=True)
+            if self.fold_T > 1:
+                # per-clip pool on the folded layout: frame means, then the
+                # clip mean over each run of fold_T rows — one (B,1,1,1,C)
+                # gate per clip, as in the unfolded op
+                fm = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+                pooled = fm.reshape(-1, self.fold_T, fm.shape[-1]).mean(1)
+                pooled = pooled[:, None, None, None, :]
+            else:
+                pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3),
+                                  keepdims=True)
         s = _conv1x1(self.width, self.dtype, "se_fc1", use_bias=True)(
             pooled.astype(self.dtype))
         s = nn.relu(s)
@@ -380,7 +391,23 @@ class SqueezeExcite(nn.Module):
         if self.gate_pad:
             s = jax.lax.optimization_barrier(
                 jnp.pad(s, ((0, 0),) * 4 + ((0, self.gate_pad),)))
+        if return_gate:
+            # (B,1,1,1,Cp) f32 gate — the caller folds it into the bn_b
+            # affine coefficients ((y*m+o)*s == y*(m*s)+(o*s)) so the MXU
+            # conv-"c" kernel consumes one coefficient pair
+            return s
+        if s.shape[0] != x.shape[0]:
+            # folded x with a per-clip gate: broadcast over each clip's rows
+            s = jnp.repeat(s, x.shape[0] // s.shape[0], axis=0)
         return x * s.astype(x.dtype)
+
+
+def _ckpt_name(x, on: bool):
+    """Tag a conv output for the "convs" remat policy (identity otherwise)."""
+    if not on:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, "x3d_conv")
 
 
 class Bottleneck(nn.Module):
@@ -392,15 +419,23 @@ class Bottleneck(nn.Module):
     bn_eps: float
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    save_names: bool = False   # tag conv outputs for the "convs" remat policy
+    fold_T: int = 0            # >0: time-folded (B·T, 1, H, W, C) input
 
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
+        fold = self.fold_T if self.fold_T > 1 else 0
         bn = lambda name: _BN(self.bn_momentum, self.bn_eps, self.dtype,
                               groups=self.bn_groups, name=name)
         C = spec.inner_channels
         seg = dw_fused.segment_mode(x.shape[0], spec.stride, self.bn_groups,
                                     self.temp_kernel)
+        if fold and seg == "pallas":
+            # the Pallas segment kernel streams the unfolded (T,H,W,C,B)
+            # view; on the folded layout fall back to the aligned
+            # composition (same math, XLA emitters)
+            seg = "aligned"
         # Fused segment modes DMA / feed the batch-minor (T,H,W,C,B) view,
         # which wants the sublane (C) extent tile-aligned: conv "a" emits
         # the padded tile via zero weight columns (no pad pass), conv "c"
@@ -408,7 +443,19 @@ class Bottleneck(nn.Module):
         # via the coefs-mode _BN (identical tree to the unfused path).
         pad = (-C) % 8 if seg != "off" else 0
         Cp = C + pad
-        out = _conv1x1(C, self.dtype, "a", out_pad=pad)(x.astype(self.dtype))
+        conv_a = _conv1x1(C, self.dtype, "a", out_pad=pad)
+        # Opt-in MXU lowering for the expanding conv (ops/pointwise.py
+        # impl "mxu"/"mxu_exp"): the Pallas matmul emits bn_a's stat sums
+        # from its own epilogue, so the custom-call boundary un-fuses
+        # nothing (the round-2 pw_bm loss mode, docs/PERF.md row 7).
+        p_a = s2_a = None
+        from x3d_tpu.ops import pointwise as _pw
+        if (seg != "off" and train and not fold
+                and _pw.stats_capable(x.shape, x.shape[-1], Cp)):
+            out, p_a, s2_a = conv_a(x.astype(self.dtype), return_stats=True)
+        else:
+            out = conv_a(x.astype(self.dtype))
+        out = _ckpt_name(out, self.save_names)
         if seg != "off":
             Bn, Tn, Hn, Wn = out.shape[:4]
             g = self.bn_groups
@@ -440,25 +487,41 @@ class Bottleneck(nn.Module):
 
             stats_a = None
             if train:
-                x32 = out.astype(jnp.float32)
-                # barrier the stat vectors before slicing to C: XLA
-                # otherwise pushes the slice through the reduces into the
-                # activations' cotangents, and its rewrite of a sliced
-                # depthwise weight-grad conv is invalid (batch-group
-                # mismatch at compile time)
-                if g > 1:
-                    xg = x32.reshape(g, Bn // g, Tn, Hn, Wn, Cp)
-                    mean_a = jax.lax.optimization_barrier(
-                        jnp.mean(xg, axis=(1, 2, 3, 4)))[:, :C]
-                    var_a = (jax.lax.optimization_barrier(
-                        jnp.mean(xg * xg, axis=(1, 2, 3, 4)))[:, :C]
-                        - mean_a * mean_a)
+                n_a = Bn * Tn * Hn * Wn
+                if p_a is not None:
+                    # sums emitted by the MXU conv kernel — same handling
+                    # as bn_b's p/s2 below
+                    pa = jax.lax.optimization_barrier(p_a)
+                    sa = jax.lax.optimization_barrier(s2_a)
+                    if g > 1:
+                        pg = pa.reshape(Cp, g, Bn // g).sum(-1)[:C]
+                        sg = sa.reshape(Cp, g, Bn // g).sum(-1)[:C]
+                        mean_a = jnp.transpose(pg) / (n_a // g)
+                        var_a = (jnp.transpose(sg) / (n_a // g)
+                                 - mean_a * mean_a)
+                    else:
+                        mean_a = pa.sum(axis=1)[:C] / n_a
+                        var_a = sa.sum(axis=1)[:C] / n_a - mean_a * mean_a
                 else:
-                    mean_a = jax.lax.optimization_barrier(
-                        jnp.mean(x32, axis=(0, 1, 2, 3)))[:C]
-                    var_a = (jax.lax.optimization_barrier(
-                        jnp.mean(x32 * x32, axis=(0, 1, 2, 3)))[:C]
-                        - mean_a * mean_a)
+                    x32 = out.astype(jnp.float32)
+                    # barrier the stat vectors before slicing to C: XLA
+                    # otherwise pushes the slice through the reduces into
+                    # the activations' cotangents, and its rewrite of a
+                    # sliced depthwise weight-grad conv is invalid
+                    # (batch-group mismatch at compile time)
+                    if g > 1:
+                        xg = x32.reshape(g, Bn // g, Tn, Hn, Wn, Cp)
+                        mean_a = jax.lax.optimization_barrier(
+                            jnp.mean(xg, axis=(1, 2, 3, 4)))[:, :C]
+                        var_a = (jax.lax.optimization_barrier(
+                            jnp.mean(xg * xg, axis=(1, 2, 3, 4)))[:, :C]
+                            - mean_a * mean_a)
+                    else:
+                        mean_a = jax.lax.optimization_barrier(
+                            jnp.mean(x32, axis=(0, 1, 2, 3)))[:C]
+                        var_a = (jax.lax.optimization_barrier(
+                            jnp.mean(x32 * x32, axis=(0, 1, 2, 3)))[:C]
+                            - mean_a * mean_a)
                 stats_a = (mean_a, var_a)
             mul_a, add_a = bn("bn_a")(None, train, stats=stats_a,
                                       coefs=True, c=C)
@@ -479,8 +542,14 @@ class Bottleneck(nn.Module):
                 # into the conv's input read and the sums into its epilogue.
                 am, aa = ew(mul_a, add_a)
                 u = nn.relu(out * am + aa)
-                from x3d_tpu.ops.depthwise import depthwise_conv3d
-                y = depthwise_conv3d(u, kernel.astype(self.dtype))
+                if fold:
+                    from x3d_tpu.ops.depthwise import depthwise_conv3d_folded
+                    y = depthwise_conv3d_folded(u, kernel.astype(self.dtype),
+                                                fold)
+                else:
+                    from x3d_tpu.ops.depthwise import depthwise_conv3d
+                    y = depthwise_conv3d(u, kernel.astype(self.dtype))
+                y = _ckpt_name(y, self.save_names)
                 y32 = y.astype(jnp.float32)
                 p = jnp.transpose(jnp.sum(y32, axis=(1, 2, 3)))
                 s2 = jnp.transpose(jnp.sum(y32 * y32, axis=(1, 2, 3)))
@@ -503,17 +572,76 @@ class Bottleneck(nn.Module):
             # invites XLA to slice the conv output to C channels and then
             # build an invalid batch-group weight-grad conv; pad channels
             # are zero regardless because the padded kernel taps are zero.
-            bm, ba = ew(mul_b, add_b)
-            out = y.astype(self.dtype) * bm + ba
-            if spec.use_se:
+            def se_pooled():
                 mbc, abc = cb_cols(mul_b, add_b)                 # (Cp, Bn)
+                if fold:
+                    # per-clip pool from the per-frame sums: one gate per
+                    # clip (Bn = B·fold rows; coefficient columns are
+                    # constant within a clip, so sample every fold-th)
+                    Bc = Bn // fold
+                    pc = p[:C].reshape(C, Bc, fold).sum(-1)
+                    pooled = (mbc[:C, ::fold].astype(jnp.float32)
+                              * (pc / (fold * Tn * Hn * Wn))
+                              + abc[:C, ::fold].astype(jnp.float32))
+                    return jnp.transpose(pooled).reshape(Bc, 1, 1, 1, C)
                 pooled = (mbc[:C].astype(jnp.float32)
                           * (p[:C] / (Tn * Hn * Wn))
                           + abc[:C].astype(jnp.float32))
-                pooled = jnp.transpose(pooled).reshape(Bn, 1, 1, 1, C)
+                return jnp.transpose(pooled).reshape(Bn, 1, 1, 1, C)
+
+            if (train and not fold
+                    and _pw.stats_capable((Bn, Tn, Hn, Wn, Cp), Cp,
+                                          spec.out_channels)):
+                # MXU contracting conv: the bn_b affine (+ SE gate, folded
+                # into the coefficients) and swish run inside the kernel,
+                # which also emits bn_c's stat sums — no fusion is lost at
+                # the custom-call boundary (docs/PERF.md row 7's loss mode)
+                a_cb, o_cb = cb_cols(mul_b, add_b)               # (Cp, Bn)
+                if spec.use_se:
+                    gate = SqueezeExcite(spec.se_width, C, self.dtype,
+                                         gate_pad=pad, name="se")(
+                        None, pooled=se_pooled(), return_gate=True)
+                    g_cb = jnp.transpose(gate.reshape(Bn, Cp))
+                    a_cb = a_cb * g_cb
+                    o_cb = o_cb * g_cb
+                z, p_c, s2_c = _conv1x1(spec.out_channels, self.dtype, "c",
+                                        in_pad=pad)(
+                    y.astype(self.dtype), act_coefs=(a_cb, o_cb))
+                Cout = spec.out_channels
+                p_c = jax.lax.optimization_barrier(p_c)
+                s2_c = jax.lax.optimization_barrier(s2_c)
+                n_c = Bn * Tn * Hn * Wn
+                if g > 1:
+                    pg = p_c.reshape(Cout, g, Bn // g).sum(-1)
+                    sg = s2_c.reshape(Cout, g, Bn // g).sum(-1)
+                    mean_c = jnp.transpose(pg) / (n_c // g)
+                    var_c = (jnp.transpose(sg) / (n_c // g)
+                             - mean_c * mean_c)
+                else:
+                    mean_c = p_c.sum(axis=1) / n_c
+                    var_c = s2_c.sum(axis=1) / n_c - mean_c * mean_c
+                mul_c, add_c = bn("bn_c")(None, train,
+                                          stats=(mean_c, var_c),
+                                          coefs=True, c=Cout)
+                if mul_c.ndim == 1:
+                    cm = mul_c.astype(self.dtype)
+                    ca = add_c.astype(self.dtype)
+                else:
+                    shp = (Bn, 1, 1, 1, Cout)
+                    cm = jnp.repeat(mul_c, Bn // g,
+                                    axis=0).reshape(shp).astype(self.dtype)
+                    ca = jnp.repeat(add_c, Bn // g,
+                                    axis=0).reshape(shp).astype(self.dtype)
+                # the bn_c affine stays elementwise: XLA fuses it into the
+                # residual add that consumes this block's output
+                return z.astype(self.dtype) * cm + ca
+
+            bm, ba = ew(mul_b, add_b)
+            out = y.astype(self.dtype) * bm + ba
+            if spec.use_se:
                 out = SqueezeExcite(spec.se_width, C, self.dtype,
                                     gate_pad=pad, name="se")(
-                    out, pooled=pooled)
+                    out, pooled=se_pooled())
         else:
             out = bn("bn_a")(out, train)
             out = nn.relu(out)
@@ -522,15 +650,18 @@ class Bottleneck(nn.Module):
                 strides=(1, spec.stride, spec.stride),
                 padding="SAME",
                 dtype=self.dtype,
+                fold_T=fold,
                 name="b",
             )(out)
+            out = _ckpt_name(out, self.save_names)
             out = bn("bn_b")(out, train)
             if spec.use_se:
                 out = SqueezeExcite(spec.se_width, C, self.dtype,
-                                    name="se")(out)
+                                    fold_T=fold, name="se")(out)
         out = nn.swish(out)
         out = _conv1x1(spec.out_channels, self.dtype, "c", in_pad=pad)(
             out.astype(self.dtype))
+        out = _ckpt_name(out, self.save_names)
         out = bn("bn_c")(out, train)
         return out
 
@@ -544,12 +675,15 @@ class ResBlock(nn.Module):
     bn_eps: float
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    save_names: bool = False   # tag conv outputs for the "convs" remat policy
+    fold_T: int = 0            # >0: time-folded (B·T, 1, H, W, C) input
 
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
         out = Bottleneck(spec, self.temp_kernel, self.bn_momentum,
                          self.bn_eps, self.dtype, bn_groups=self.bn_groups,
+                         save_names=self.save_names, fold_T=self.fold_T,
                          name="bottleneck")(x, train)
         if spec.in_channels != spec.out_channels or spec.stride != 1:
             res = PointwiseConv3D(
@@ -561,6 +695,7 @@ class ResBlock(nn.Module):
                 kernel_init=_KERNEL_INIT,
                 name="residual",
             )(x.astype(self.dtype))
+            res = _ckpt_name(res, self.save_names)
             res = _BN(self.bn_momentum, self.bn_eps, self.dtype,
                       groups=self.bn_groups, name="bn_r")(res, train)
         else:
@@ -578,33 +713,87 @@ class X3D(nn.Module):
     """
     arch: X3DArch
     dtype: Any = jnp.bfloat16
-    remat: bool = False  # rematerialise each res block in the backward pass
+    # Rematerialisation granularity for the backward pass:
+    #   False    — save every intermediate (fastest when it fits HBM)
+    #   "block"  — recompute each res block (save only block boundaries);
+    #              True is accepted as an alias.  The 312² default.
+    #   "stage"  — recompute whole stages (save only stage boundaries):
+    #              coarsest, smallest footprint, most recompute
+    #   "convs"  — per-block remat with a save_only_these_names policy that
+    #              keeps conv outputs resident: only BN/ReLU/SE elementwise
+    #              chains are recomputed (more memory than "block", far
+    #              less recompute)
+    remat: Any = False
     bn_groups: int = 1   # >1: per-replica BN statistics (TPU.SYNC_BN=False)
+    # Time-folded layout (False/True/"auto"): carry activations as
+    # (B·T, 1, H, W, C) so the batch-minor lane dimension is filled even at
+    # sub-128 batches.  X3D never downsamples time, so every op has an
+    # exact folded form (temporal depthwise taps become static batch-axis
+    # shifts — ops/depthwise.depthwise_conv3d_folded); parameters, BN
+    # statistics and outputs are identical to the unfolded model.  "auto":
+    # fold on TPU when B underfills the 128 lanes but B·T fills them —
+    # the X3D-L/XL regime, where unfolded layouts waste 2.4–8× on lane
+    # padding (docs/PERF.md round 3).
+    time_fold: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         arch = self.arch
-        # Per-block remat bounds training memory to block-boundary
-        # activations plus one block's internals — the TPU-native analogue of
-        # fitting 16x224^2 batches that the reference spread over 4 GPUs.
-        block_cls = (
-            nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
-        )
+        fold = self.time_fold
+        B0, T0 = x.shape[0], x.shape[1]
+        if fold == "auto":
+            fold = (jax.default_backend() == "tpu"
+                    and B0 % 128 != 0 and (B0 * T0) % 128 == 0)
+        fold_T = T0 if (fold and T0 > 1) else 0
+        if fold_T and self.bn_groups > 1 and B0 % self.bn_groups:
+            raise ValueError(
+                f"time_fold needs batch {B0} divisible by bn_groups "
+                f"{self.bn_groups} (grouped statistics must not split "
+                "clips)")
+        if fold_T:
+            x = x.reshape((B0 * T0, 1) + x.shape[2:])
+        # Remat bounds training memory to the chosen checkpoint boundaries
+        # plus one region's internals — the TPU-native analogue of fitting
+        # 16x224^2 batches that the reference spread over 4 GPUs.
+        mode = {False: "off", True: "block", None: "off"}.get(
+            self.remat, self.remat)
+        if mode not in ("off", "block", "stage", "convs"):
+            raise ValueError(f"remat mode {self.remat!r}")
+        if mode == "convs":
+            block_cls = nn.remat(
+                ResBlock, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "x3d_conv"))
+        elif mode == "block":
+            block_cls = nn.remat(ResBlock, static_argnums=(2,))
+        else:
+            block_cls = ResBlock
         x = Stem(arch.conv1_dim, arch.temp_filter, arch.bn_momentum,
                  arch.bn_eps, self.dtype, bn_groups=self.bn_groups,
-                 name="conv_1")(x, train)
+                 fold_T=fold_T, name="conv_1")(x, train)
         for si, blocks in enumerate(arch.stages):
-            for bi, spec in enumerate(blocks):
-                # stage numbering starts at 2, as in the paper and the
-                # reference's layer names (model.py:401,430)
-                x = block_cls(spec, arch.temp_kernel, arch.bn_momentum,
-                              arch.bn_eps, self.dtype,
-                              bn_groups=self.bn_groups,
-                              name=f"stage{si + 2}_block{bi}")(x, train)
+            def run_stage(mdl, xx, _si=si, _blocks=blocks):
+                for bi, spec in enumerate(_blocks):
+                    # stage numbering starts at 2, as in the paper and the
+                    # reference's layer names (model.py:401,430)
+                    xx = block_cls(spec, arch.temp_kernel, arch.bn_momentum,
+                                   arch.bn_eps, mdl.dtype,
+                                   bn_groups=mdl.bn_groups,
+                                   save_names=(mode == "convs"),
+                                   fold_T=fold_T,
+                                   name=f"stage{_si + 2}_block{bi}")(xx, train)
+                return xx
+            if mode == "stage":
+                x = nn.remat(run_stage)(self, x)
+            else:
+                x = run_stage(self, x)
         x = _conv1x1(arch.conv5_dim, self.dtype, "conv_5")(x.astype(self.dtype))
         x = _BN(arch.bn_momentum, arch.bn_eps, self.dtype,
                 groups=self.bn_groups, name="bn_5")(x, train)
         x = nn.relu(x)
+        if fold_T:
+            # unfold for the head: (B·T, 1, h, w, C) → (B, T, h, w, C)
+            x = x.reshape((B0, T0) + x.shape[2:])
         # AdaptiveAvgPool3D((1,1,1)) == global mean over (T, H, W)
         x = jnp.mean(x, axis=(1, 2, 3))
         x = nn.Dense(
@@ -635,12 +824,15 @@ class X3D(nn.Module):
         return probs
 
 
-def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1) -> X3D:
+def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1,
+                 time_fold=None) -> X3D:
     """Build an :class:`X3D` from a config (see ``x3d_tpu.config``).
 
-    ``remat`` default ("auto"): rematerialise only for the 312^2 variants
-    (L/XL), whose activations don't fit HBM un-remat'ed at training batch
-    sizes; for XS/S/M, no-remat is ~24% faster (measured on v5e).
+    ``remat`` default ("auto"): per-block rematerialisation only for the
+    312^2 variants (L/XL), whose activations don't fit HBM un-remat'ed at
+    training batch sizes; for XS/S/M, no-remat is ~24% faster (measured on
+    v5e).  Besides True/False/"auto", the granularity modes
+    "block"/"stage"/"convs" are accepted (see :class:`X3D`).
 
     ``bn_groups``: per-replica BN group count for ``TPU.SYNC_BN: False``
     (the caller passes the mesh's data-axis size — see
@@ -652,8 +844,10 @@ def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1) -> X3D:
         remat = cfg.TPU.REMAT if "TPU" in cfg else "auto"
     if remat == "auto":
         remat = cfg.DATA.TRAIN_CROP_SIZE >= 312
-    return X3D(arch=build_arch(cfg), dtype=dtype, remat=bool(remat),
-               bn_groups=bn_groups)
+    if time_fold is None:
+        time_fold = cfg.TPU.TIME_FOLD if "TPU" in cfg else False
+    return X3D(arch=build_arch(cfg), dtype=dtype, remat=remat,
+               bn_groups=bn_groups, time_fold=time_fold)
 
 
 def init_variables(model: X3D, rng, sample, train: bool = False):

@@ -172,6 +172,84 @@ def _dw_shift(x, kernel, strides, padding):
     return out
 
 
+def depthwise_conv3d_folded(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    fold_T: int,
+    strides: Sequence[int] = (1, 1, 1),
+    padding="SAME",
+) -> jnp.ndarray:
+    """Depthwise T×k×k conv on a **time-folded** batch (the L/XL layout fix).
+
+    X3D never downsamples time, so the whole network can carry activations
+    as (B·T, 1, H, W, C) — putting B·T on XLA's batch-minor lane dimension.
+    At sub-128 batches the conventional (B, T, H, W, C) layout wastes
+     2.4–8× of every vector register and HBM tile on lane padding (measured
+    in the X3D-L OOM dumps, docs/PERF.md round 3); folding restores full
+    128-lane occupancy (L: B·T = 16·16 = 256).
+
+    A k_t×k_h×k_w depthwise conv on the folded layout is computed as k_t
+    per-frame spatial depthwise convs (one per temporal tap, taking that
+    tap's (1,k_h,k_w) kernel slice) summed after a static batch-axis shift,
+    with clip-boundary rows masked to reproduce the temporal zero padding:
+
+        y[b·T+t] = Σ_j  conv2d(x, k[j])[b·T+t+j-lo] · 1[0 ≤ t+j-lo < T]
+
+    Identical tap count (k_t·k_h·k_w FMAs/element) to the unfolded conv;
+    the shifts are static full-tensor rolls that XLA fuses into the sum.
+
+    Matches the reference op (``/root/reference/model.py:259-267`` — the
+    groups=C Conv3D) exactly; equality is tested against
+    :func:`depthwise_conv3d` on the unfolded tensor.
+
+    Args:
+      x: (B·T, 1, H, W, C) folded input.
+      kernel: (k_t, k_h, k_w, 1, C) taps — the SAME parameter as the
+        unfolded op (checkpoints interchangeable).
+      fold_T: frames per clip (static).
+      strides: (1, s, s) — temporal stride must be 1 (true everywhere in
+        X3D).
+      padding: "SAME" or explicit ((lo,hi),)*3 over the logical (T, H, W).
+    """
+    kt, kh, kw = kernel.shape[:3]
+    st, sh, sw = strides
+    T = fold_T
+    N = x.shape[0]
+    if st != 1:
+        raise ValueError("folded depthwise requires temporal stride 1")
+    if x.shape[1] != 1 or N % T:
+        raise ValueError(f"expected folded (B*{T},1,H,W,C) input, "
+                         f"got {x.shape}")
+    # Resolve pads against the logical (B, T, H, W, C) shape.
+    logical = (N // T, T) + x.shape[2:]
+    pads = _resolve_pads(logical, kernel.shape[:3], strides, padding)
+    tlo, thi = pads[0]
+    if (tlo, thi) != same_pads(T, kt, 1) and (tlo, thi) != (kt // 2, kt // 2):
+        raise ValueError(f"unsupported temporal padding {(tlo, thi)}")
+    spads = ((0, 0), pads[1], pads[2])
+    k = kernel.astype(x.dtype)
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1, 1, 1, 1), 0) % T
+    out = None
+    for j in range(kt):
+        cj = jax.lax.conv_general_dilated(
+            x,
+            k[j:j + 1],
+            window_strides=(1, sh, sw),
+            padding=spads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=x.shape[-1],
+            preferred_element_type=x.dtype,
+        )
+        off = j - tlo
+        if off:
+            cj = jnp.roll(cj, -off, axis=0)
+            cj = jnp.where((t_idx + off >= 0) & (t_idx + off < T), cj,
+                           jnp.zeros((), cj.dtype))
+        out = cj if out is None else out + cj
+    return out
+
+
 def _dw_bm_or_fallback(x, kernel, strides, padding):
     """Route to the batch-minor Pallas kernel (``ops/dw_batchminor.py``)
     when it applies — stride 1, SAME-equivalent pads, batch filling whole
@@ -300,6 +378,7 @@ class DepthwiseConv3D(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     kernel_init: object = nn.initializers.glorot_uniform()
+    fold_T: int = 0     # >0: input is time-folded (B·fold_T, 1, H, W, C)
 
     @nn.compact
     def __call__(self, x):
@@ -311,6 +390,10 @@ class DepthwiseConv3D(nn.Module):
             self.param_dtype,
         )
         dtype = self.dtype or x.dtype
+        if self.fold_T > 1:
+            return depthwise_conv3d_folded(
+                x.astype(dtype), kernel.astype(dtype), self.fold_T,
+                self.strides, self.padding)
         return depthwise_conv3d(
             x.astype(dtype), kernel.astype(dtype), self.strides, self.padding
         )

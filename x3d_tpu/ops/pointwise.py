@@ -30,17 +30,58 @@ _DEFAULT_IMPL = "conv"
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    if impl not in ("auto", "einsum", "conv", "mxu", "mxu_exp"):
+    if impl not in ("auto", "einsum", "conv", "mxu", "mxu_exp", "mxu_seg"):
         raise ValueError(impl)
     _DEFAULT_IMPL = impl
 
 
+def stats_capable(x_shape, cin: int, cout: int,
+                  impl: Optional[str] = None) -> bool:
+    """Whether ``pointwise_conv3d(..., return_stats=True)`` would use the
+    MXU+stats Pallas kernel for this call (mirrors the dispatch below).
+    The aligned bottleneck path asks this BEFORE building its stat reduces
+    so the default path's tuned fusion structure is untouched when the
+    kernel does not engage."""
+    from x3d_tpu.ops import pw_batchminor
+
+    impl = impl or _DEFAULT_IMPL
+    if impl == "mxu_exp" and cout <= cin:
+        return False
+    # "mxu_seg": the MXU+stats kernels for the bottleneck segment convs
+    # ONLY (both "a" and "c"); every other 1x1x1 stays on the XLA path
+    # (unlike "mxu", which also grabs e.g. residual projections without
+    # their BN stat sums — the round-2 loss mode)
+    if impl not in ("mxu", "mxu_exp", "mxu_seg"):
+        return False
+    spatial = 1
+    for d in x_shape[1:-1]:
+        spatial *= d
+    # Exclude the shallow 56^2-plane stage: its custom-call outputs are the
+    # largest buffers in the step and XLA cannot rematerialise them across
+    # the backward (measured: all-stage mxu_seg OOMs X3D-M B=128 by 313 MB),
+    # while its tiny contraction (cin 24) underfills the MXU anyway.
+    if len(x_shape) == 5 and not pw_batchminor.INTERPRET:
+        hw = x_shape[2] * x_shape[3]
+        if hw > 3000:
+            return False
+    return (len(x_shape) == 5 and spatial > 1
+            and cin % 8 == 0 and cout % 8 == 0
+            and (x_shape[0] % 128 == 0 or pw_batchminor.INTERPRET))
+
+
 def pointwise_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
-                     impl: Optional[str] = None) -> jnp.ndarray:
+                     impl: Optional[str] = None,
+                     return_stats: bool = False):
     """x: (..., Cin), kernel: (1,1,1,Cin,Cout) or (Cin, Cout)."""
     k2 = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
     cin, cout = k2.shape
     impl = impl or _DEFAULT_IMPL
+    if return_stats:
+        # caller must have checked stats_capable (the aligned path does)
+        from x3d_tpu.ops import pw_batchminor
+
+        assert stats_capable(x.shape, cin, cout, impl)
+        return pw_batchminor.pw_conv_bm_stats(x, k2.astype(x.dtype))
     if impl == "mxu_exp":
         # MXU only for channel-EXPANDING convs (the bottleneck "a" convs):
         # their pallas custom_vjp residual is the block input, which the
@@ -92,7 +133,7 @@ class PointwiseConv3D(nn.Module):
     in_pad: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False, act_coefs=None):
         cin = x.shape[-1] - self.in_pad
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, 1, cin, self.features), self.param_dtype)
@@ -109,6 +150,24 @@ class PointwiseConv3D(nn.Module):
         if self.strides != (1, 1, 1):
             _, sh, sw = self.strides
             x = x[:, :, ::sh, ::sw, :]   # 1x1x1 kernel: stride == subsample
+        if act_coefs is not None:
+            # MXU swish(x*a+b) @ W + in-kernel BN stat sums — the aligned
+            # bottleneck's contracting ("c") conv with the bn_b affine /
+            # SE gate / swish subsumed (caller gated on stats_capable)
+            assert not self.use_bias and self.strides == (1, 1, 1)
+            from x3d_tpu.ops import pw_batchminor
+
+            a_cb, b_cb = act_coefs
+            return pw_batchminor.pw_act_conv_bm_stats(
+                x, a_cb, b_cb,
+                kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+                .astype(dtype))
+        if return_stats:
+            # MXU conv + in-kernel BN stat sums (aligned bottleneck path);
+            # the caller gated on stats_capable
+            assert not self.use_bias
+            return pointwise_conv3d(x, kernel.astype(dtype), self.impl,
+                                    return_stats=True)
         y = pointwise_conv3d(x, kernel.astype(dtype), self.impl)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),

@@ -8,13 +8,14 @@ docs/PERF.md).  This tool times the complete X3D train step under a chosen
 combination of dispatch knobs:
 
     python -m x3d_tpu.tools.ab --dw=aligned --pw=conv [--variant=M]
-        [--batch=128] [--steps=20] [--remat] [--crop=224]
+        [--batch=128] [--steps=20] [--remat=block] [--crop=224]
 
-  --dw:  off | aligned | pallas | xla | shift | shift_cvjp | bm | xbwd
-         (off/aligned/pallas select the bottleneck segment mode in
-         ops/dw_fused.py; the rest select ops/depthwise.py lowerings with
-         the segment mode off)
-  --pw:  conv | einsum | auto | mxu | mxu_exp  (ops/pointwise.py)
+  --dw:    off | aligned | pallas | xla | shift | shift_cvjp | bm | xbwd
+           (off/aligned/pallas select the bottleneck segment mode in
+           ops/dw_fused.py; the rest select ops/depthwise.py lowerings with
+           the segment mode off)
+  --pw:    conv | einsum | auto | mxu | mxu_exp | mxu_seg  (ops/pointwise.py)
+  --remat: auto | off | block | stage | convs  (models/x3d.py granularity)
 
 Prints one JSON line with step_ms and clips_per_s (min over 3 timed
 rounds of --steps chained steps, dispatch overhead amortized).
@@ -27,7 +28,7 @@ import time
 
 
 def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
-           remat: bool, crop: int | None = None) -> dict:
+           remat: str = "auto", crop: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +50,9 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
     if crop:
         cfg.DATA.TRAIN_CROP_SIZE = crop
     dtype = jnp.bfloat16
-    model = create_model(cfg, dtype=dtype, remat=remat or None)
+    remat_arg = {"auto": None, "true": True, "false": False,
+                 "off": False}.get(str(remat).lower(), remat)
+    model = create_model(cfg, dtype=dtype, remat=remat_arg)
     key = jax.random.PRNGKey(0)
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
     video = jax.random.normal(key, (batch, T, S, S, 3), dtype=dtype)
@@ -72,7 +75,7 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
         best = min(best, (time.perf_counter() - t0) / steps)
 
     return {"variant": variant, "dw": dw, "pw": pw, "batch": batch,
-            "remat": bool(remat), "input": f"{T}x{S}^2",
+            "remat": str(remat), "input": f"{T}x{S}^2",
             "step_ms": round(best * 1e3, 2),
             "clips_per_s": round(batch / best, 2)}
 
@@ -85,7 +88,8 @@ def main(argv=None):
     flags.DEFINE_string("pw", "conv", "Pointwise lowering.")
     flags.DEFINE_integer("batch", 128, "Train batch (clips).")
     flags.DEFINE_integer("steps", 20, "Chained steps per timed round.")
-    flags.DEFINE_bool("remat", False, "Force per-block remat.")
+    flags.DEFINE_string("remat", "auto",
+                        "Remat mode: auto/off/block/stage/convs.")
     flags.DEFINE_integer("crop", 0, "Override TRAIN_CROP_SIZE (0 = config).")
     FLAGS = flags.FLAGS
 

@@ -45,6 +45,7 @@ def analyze(cfg, batch: int, mode: str, remat) -> dict:
     ma = lowered.compile().memory_analysis()
     return {
         "batch": batch,
+        "remat": str(remat),
         "input": f"{batch * views}x{T}x{S}^2",
         "temp_gb": round(ma.temp_size_in_bytes / 1e9, 2),
         "args_gb": round(ma.argument_size_in_bytes / 1e9, 2),
@@ -61,7 +62,8 @@ def main(argv=None):
     flags.DEFINE_string("config", None, "Variant config yaml.")
     flags.DEFINE_multi_integer("batch", [16], "Batch size(s) to analyze.")
     flags.DEFINE_string("mode", "train", "train or eval.")
-    flags.DEFINE_string("remat", "auto", "Per-block remat: auto/true/false.")
+    flags.DEFINE_string("remat", "auto",
+                        "Remat mode: auto/off/block/stage/convs.")
     flags.DEFINE_float("hbm_gb", 15.75, "Chip HBM capacity for the verdict.")
     flags.mark_flags_as_required(["config"])
     FLAGS = flags.FLAGS
@@ -70,8 +72,8 @@ def main(argv=None):
         from x3d_tpu.tools.common import load_config
 
         cfg = load_config(FLAGS.config)
-        remat = {"auto": None, "true": True, "false": False}[
-            FLAGS.remat.lower()]
+        remat = {"auto": None, "true": True, "false": False,
+                 "off": False}.get(FLAGS.remat.lower(), FLAGS.remat.lower())
         for b in FLAGS.batch:
             r = analyze(cfg, b, FLAGS.mode, remat)
             r["fits"] = r["total_gb"] <= FLAGS.hbm_gb
