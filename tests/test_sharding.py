@@ -326,3 +326,44 @@ def test_aligned_mode_sharded_matches_unfused(eight_devices):
     # batch stats updated under SPMD match global-reduction semantics
     leaf_ref = jax.tree_util.tree_leaves(run()[0].batch_stats)[0]
     assert np.isfinite(np.asarray(leaf_ref)).all()
+
+
+def test_time_fold_sharded_matches_unfolded(eight_devices):
+    """The time-folded layout under an 8-way data mesh: the (B,T,...) ->
+    (B*T,1,...) reshape of the sharded batch axis must compile, keep the
+    fold exact (same loss/batch stats as the unsharded unfolded run), and
+    work with grouped/per-replica BN."""
+    mesh = create_mesh(devices=eight_devices)
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(3)
+    video = jax.random.normal(key, (8, 4, 16, 16, 3))
+    label = jnp.arange(8) % 16
+    batch = {"video": video, "label": label}
+
+    base = create_model(cfg, dtype=jnp.float32, time_fold=False)
+    state0 = create_train_state(cfg, base, key, video, steps_per_epoch=2)
+    step = jax.jit(make_train_step(base, cfg.NETWORK.WEIGHT_DECAY))
+    ref_state, ref_metrics = step(state0, batch, key)
+
+    for bn_groups in (1, 8):
+        folded = create_model(cfg, dtype=jnp.float32, time_fold=True,
+                              bn_groups=bn_groups)
+        statef = create_train_state(cfg, folded, key, video,
+                                    steps_per_epoch=2)
+        stepf = jax.jit(make_train_step(folded, cfg.NETWORK.WEIGHT_DECAY))
+        sh_state = shard_state(statef, mesh)
+        sh_batch = shard_batch(batch, mesh)
+        new_state, metrics = stepf(sh_state, sh_batch, key)
+        if bn_groups == 1:
+            # global BN: exact parity with the unsharded unfolded step
+            np.testing.assert_allclose(float(metrics["loss"]),
+                                       float(ref_metrics["loss"]),
+                                       rtol=1e-5)
+            ref_bn = ref_state.batch_stats["conv_1"]["bn"]["norm"]["mean"]
+            sh_bn = new_state.batch_stats["conv_1"]["bn"]["norm"]["mean"]
+            np.testing.assert_allclose(np.asarray(sh_bn),
+                                       np.asarray(ref_bn),
+                                       rtol=2e-4, atol=1e-6)
+        else:
+            # per-replica BN on folded shards still executes and is finite
+            assert np.isfinite(float(metrics["loss"]))

@@ -195,25 +195,29 @@ class _Ring:
                 & (cols >= self.wpad) & (cols < self.wpad + self.W))
         self.ring[slot, 0] = self.transform(raw, mask)
 
-    def window(self, q, T=None):
-        """Resident (transformed) window of plane q (traced).  With T given,
-        out-of-range planes resolve to the permanently-zero pad slot
-        (index nslots) so taps need no validity selects."""
-        slot = (q + 64 * self.nslots) % self.nslots
-        if T is not None:
-            slot = jnp.where((q >= 0) & (q < T), slot, self.nslots)
+    def window_slot(self, slot):
+        """Resident window at a STATIC ring slot (phase-unrolled compute:
+        no dynamic indexing, no validity select — see _ring_io_static)."""
         return self.ring.at[slot, 0]
 
-    def zero_pad_slot(self):
-        """One-time zeroing of the pad slot (call at the first grid step)."""
-        self.ring[self.nslots, 0] = jnp.zeros(
-            self.ring.shape[2:], self.ring.dtype)
+    def zero_slot(self, slot):
+        """Zero one slot's window (an out-of-range plane, written at slot-
+        recycle time so reads never need a validity select)."""
+        self.ring[slot, 0] = jnp.zeros(self.ring.shape[2:], self.ring.dtype)
 
+def _ring_io_static(rings, t, T, kt, lo_t, nslots):
+    """Plane schedule maintaining the STATIC-slot invariant: before compute
+    at step t, slot (q mod nslots) holds plane q's transformed data for
+    every q in [t-lo_t, t+hi_t] — zeros when q is outside [0, T).  Compute
+    can then index the ring with compile-time slots per t-phase
+    (t mod nslots), with no per-tap dynamic-slot selects (the round-2
+    zero-slot indirection lowered to whole-window copies — docs/PERF.md
+    row 5).
 
-def _ring_io(rings, t, T, kt, lo_t, nslots):
-    """Shared plane schedule for all rings: at t==0 fetch+transform planes
-    0..hi_t and prefetch hi_t+1; at t>0 wait+transform plane t+hi_t and
-    prefetch t+hi_t+1 (conditions identical at start and wait sites)."""
+    Invalid planes are zeroed at slot-recycle time instead of read time:
+    at t==0 the slots of planes -lo_t..-1 (static), afterwards the slot of
+    the incoming plane t+hi_t when it is >= T (one memset per trailing
+    step, amortised over all taps that read it)."""
     hi_t = kt - 1 - lo_t
 
     @pl.when(t == 0)
@@ -221,12 +225,14 @@ def _ring_io(rings, t, T, kt, lo_t, nslots):
         for q in range(hi_t + 1):                      # static planes
             for ring in rings:
                 ring.start(q, q % nslots)
-        if hi_t + 1 < 10**9:
-            q = hi_t + 1
-            @pl.when(q < T)
-            def _():
-                for ring in rings:
-                    ring.start(q, q % nslots)
+        q = hi_t + 1
+        @pl.when(q < T)
+        def _():
+            for ring in rings:
+                ring.start(q, q % nslots)
+        for q in range(-lo_t, 0):                      # static zero planes
+            for ring in rings:
+                ring.zero_slot(q % nslots)
         for q in range(hi_t + 1):
             for ring in rings:
                 ring.arrive(q, q % nslots)
@@ -241,6 +247,13 @@ def _ring_io(rings, t, T, kt, lo_t, nslots):
                 def _(k=k):
                     for ring in rings:
                         ring.arrive(q, k)
+        @pl.when(q >= T)
+        def _():
+            for k in range(nslots):
+                @pl.when(q % nslots == k)
+                def _(k=k):
+                    for ring in rings:
+                        ring.zero_slot(k)
         qp = t + hi_t + 1
         @pl.when(qp < T)
         def _():
@@ -251,17 +264,20 @@ def _ring_io(rings, t, T, kt, lo_t, nslots):
                         ring.start(qp, k)
 
 
-def _conv_row(win_of, t, T, kt, kh, kw, lo_t, halo, W, wk, r,
-              tap_dtype=jnp.float32):
-    """Taps sum for output row r: out[w] = sum u[q][r+dh][w+dw] * wk[tap].
-    Windows are zero-padded in W/H and planes outside [0, T) resolve to a
-    zero slot, so every tap is an unconditional full-W slice.  ``tap_dtype``
-    selects the accumulate precision: the input dtype keeps bf16 packed
-    (16,128) vector arithmetic (2 elems/lane-cycle); float32 is exactly the
-    XLA-conv numerics."""
+def _conv_row_ph(ring, ph, nslots, kt, kh, kw, lo_t, W, wk, r,
+                 tap_dtype=jnp.float32):
+    """Taps sum for output row r: out[w] = sum u[q][r+dh][w+dw] * wk[tap],
+    phase-static: under the caller's ``t % nslots == ph`` branch, plane
+    t+dt-lo_t lives at the COMPILE-TIME slot (ph+dt-lo_t) mod nslots (the
+    _ring_io_static invariant, with out-of-range planes zeroed at recycle
+    time) — no dynamic slot index, no validity select on the read path.
+    Windows are zero-padded in W/H, so every tap is an unconditional
+    full-W slice.  ``tap_dtype`` selects the accumulate precision: the
+    input dtype keeps bf16 packed (16,128) vector arithmetic (2 elems/
+    lane-cycle); float32 is exactly the XLA-conv numerics."""
     total = None
     for dt in range(kt):
-        win = win_of(t + dt - lo_t)
+        win = ring.window_slot((ph + dt - lo_t) % nslots)
         for dh in range(kh):
             row = win[r + dh].astype(tap_dtype)              # (Wp, C, B)
             for dw in range(kw):
@@ -295,21 +311,23 @@ def _fwd_kernel(xt_hbm, a_ref, b_ref, wk_ref,
 
     @pl.when(jnp.logical_and(hi == 0, t == 0))
     def _():
-        uring.zero_pad_slot()
         p_acc[...] = jnp.zeros_like(p_acc)
         s2_acc[...] = jnp.zeros_like(s2_acc)
 
-    _ring_io([uring], t, T, kt, lo_t, nslots)
+    _ring_io_static([uring], t, T, kt, lo_t, nslots)
 
-    for r in range(hc):
-        acc = _conv_row(lambda q: uring.window(q, T), t, T, kt, kh, kw,
-                        lo_t, halo, W, wk_ref, r,
-                        tap_dtype=TAP_DTYPE or store_dtype)
-        y = acc.astype(y_ref.dtype)
-        y_ref[0, r] = y
-        y32 = y.astype(jnp.float32)
-        p_acc[...] += jnp.sum(y32, axis=0)
-        s2_acc[...] += jnp.sum(y32 * y32, axis=0)
+    for ph in range(nslots):
+        @pl.when(t % nslots == ph)
+        def _(ph=ph):
+            for r in range(hc):
+                acc = _conv_row_ph(uring, ph, nslots, kt, kh, kw, lo_t, W,
+                                   wk_ref, r,
+                                   tap_dtype=TAP_DTYPE or store_dtype)
+                y = acc.astype(y_ref.dtype)
+                y_ref[0, r] = y
+                y32 = y.astype(jnp.float32)
+                p_acc[...] += jnp.sum(y32, axis=0)
+                s2_acc[...] += jnp.sum(y32 * y32, axis=0)
 
     @pl.when(jnp.logical_and(hi == nH - 1, t == T - 1))
     def _():
@@ -349,34 +367,38 @@ def _bwd_kernel(xt_hbm, gyt_hbm, yt_hbm, a_ref, b_ref, gp_ref, gs22_ref,
 
     @pl.when(jnp.logical_and(hi == 0, t == 0))
     def _():
-        uring.zero_pad_slot()
-        gring.zero_pad_slot()
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dzs_acc[...] = jnp.zeros_like(dzs_acc)
         duu_acc[...] = jnp.zeros_like(duu_acc)
 
-    _ring_io([uring, gring], t, T, kt, lo_t, nslots)
+    _ring_io_static([uring, gring], t, T, kt, lo_t, nslots)
 
     # flipped-tap weights give du = conv(g_eff, flip(k)) with the SAME
     # window/slice geometry as the forward (odd kernels)
-    for r in range(hc):
-        du = _conv_row(lambda q: gring.window(q, T), t, T, kt, kh, kw,
-                       lo_t, halo, W, wkf_ref, r,
-                       tap_dtype=TAP_DTYPE or store_dtype)
-        u_c = uring.window(t)[r + halo, wpad:wpad + W].astype(jnp.float32)
-        dz = jnp.where(u_c > 0, du, 0.0)                    # (W, C, B) f32
-        dx_ref[0, r] = (dz * a_ref[...][None]).astype(dx_ref.dtype)
-        dzs_acc[...] += jnp.sum(dz, axis=0)
-        duu_acc[...] += jnp.sum(dz * u_c, axis=0)
+    for ph in range(nslots):
+        @pl.when(t % nslots == ph)
+        def _(ph=ph):
+            for r in range(hc):
+                du = _conv_row_ph(gring, ph, nslots, kt, kh, kw, lo_t, W,
+                                  wkf_ref, r,
+                                  tap_dtype=TAP_DTYPE or store_dtype)
+                u_c = (uring.window_slot(ph)[r + halo, wpad:wpad + W]
+                       .astype(jnp.float32))
+                dz = jnp.where(u_c > 0, du, 0.0)            # (W, C, B) f32
+                dx_ref[0, r] = (dz * a_ref[...][None]).astype(dx_ref.dtype)
+                dzs_acc[...] += jnp.sum(dz, axis=0)
+                duu_acc[...] += jnp.sum(dz * u_c, axis=0)
 
-        g_c = gring.window(t)[r + halo, wpad:wpad + W].astype(jnp.float32)
-        for dt in range(kt):
-            win = uring.window(t + dt - lo_t, T)   # zero slot when invalid
-            for dh in range(kh):
-                u_row = win[r + dh].astype(jnp.float32)      # (Wp, C, B)
-                for dw in range(kw):
-                    tap = (dt * kh + dh) * kw + dw
-                    dk_acc[tap] += jnp.sum(u_row[dw:dw + W] * g_c, axis=0)
+                g_c = (gring.window_slot(ph)[r + halo, wpad:wpad + W]
+                       .astype(jnp.float32))
+                for dt in range(kt):
+                    win = uring.window_slot((ph + dt - lo_t) % nslots)
+                    for dh in range(kh):
+                        u_row = win[r + dh].astype(jnp.float32)  # (Wp, C, B)
+                        for dw in range(kw):
+                            tap = (dt * kh + dh) * kw + dw
+                            dk_acc[tap] += jnp.sum(
+                                u_row[dw:dw + W] * g_c, axis=0)
 
     @pl.when(jnp.logical_and(hi == nH - 1, t == T - 1))
     def _():
@@ -422,7 +444,7 @@ def _run_fwd(x, a_cb, b_cb, kernel):
     nslots = kt + 1
     Wp = W + 2 * wpad
     row_bytes = Wp * C * B * x.dtype.itemsize
-    hc = _pick_hc(H, row_bytes, halo, nslots + 1,
+    hc = _pick_hc(H, row_bytes, halo, nslots,
                   acc_bytes_per_row=W * C * B * 6)
     xt = _bm_views(x)
     wk = _tap_weights(kernel, B)
@@ -450,7 +472,7 @@ def _run_fwd(x, a_cb, b_cb, kernel):
             jax.ShapeDtypeStruct((C, B), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots + 1, 1, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 1, 3)),
             pltpu.VMEM((C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
@@ -470,7 +492,7 @@ def _run_bwd(x, a_cb, b_cb, kernel, y, gy, gp, gs2):
     taps = kt * kh * kw
     Wp = W + 2 * wpad
     row_bytes = Wp * C * B * x.dtype.itemsize
-    hc = _pick_hc(H, row_bytes, halo, 3 * (nslots + 1),
+    hc = _pick_hc(H, row_bytes, halo, 3 * nslots,
                   acc_bytes_per_row=W * C * B * 8)
     xt, gyt, yt = _bm_views(x), _bm_views(gy.astype(x.dtype)), _bm_views(y)
     wkf = _tap_weights(kernel[::-1, ::-1, ::-1], B)
@@ -496,9 +518,9 @@ def _run_bwd(x, a_cb, b_cb, kernel, y, gy, gp, gs2):
             jax.ShapeDtypeStruct((C, B), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots + 1, 1, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 1, 3)),
-            pltpu.VMEM((nslots + 1, 2, hc + 2 * halo, Wp, C, B), x.dtype),
+            pltpu.VMEM((nslots, 2, hc + 2 * halo, Wp, C, B), x.dtype),
             pltpu.SemaphoreType.DMA((nslots, 2, 3)),
             pltpu.VMEM((taps, C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),

@@ -28,7 +28,8 @@ import time
 
 
 def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
-           remat: str = "auto", crop: int | None = None) -> dict:
+           remat: str = "auto", crop: int | None = None,
+           fold: str = "config") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,7 +53,10 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
     dtype = jnp.bfloat16
     remat_arg = {"auto": None, "true": True, "false": False,
                  "off": False}.get(str(remat).lower(), remat)
-    model = create_model(cfg, dtype=dtype, remat=remat_arg)
+    fold_arg = {"config": None, "auto": "auto", "on": True, "true": True,
+                "off": False, "false": False}[str(fold).lower()]
+    model = create_model(cfg, dtype=dtype, remat=remat_arg,
+                         time_fold=fold_arg)
     key = jax.random.PRNGKey(0)
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
     video = jax.random.normal(key, (batch, T, S, S, 3), dtype=dtype)
@@ -75,7 +79,7 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
         best = min(best, (time.perf_counter() - t0) / steps)
 
     return {"variant": variant, "dw": dw, "pw": pw, "batch": batch,
-            "remat": str(remat), "input": f"{T}x{S}^2",
+            "remat": str(remat), "fold": str(fold), "input": f"{T}x{S}^2",
             "step_ms": round(best * 1e3, 2),
             "clips_per_s": round(batch / best, 2)}
 
@@ -91,12 +95,14 @@ def main(argv=None):
     flags.DEFINE_string("remat", "auto",
                         "Remat mode: auto/off/block/stage/convs.")
     flags.DEFINE_integer("crop", 0, "Override TRAIN_CROP_SIZE (0 = config).")
+    flags.DEFINE_string("fold", "config",
+                        "Time-folded layout: config/auto/on/off.")
     FLAGS = flags.FLAGS
 
     def run(_):
         print(json.dumps(run_ab(FLAGS.variant.upper(), FLAGS.dw, FLAGS.pw,
                                 FLAGS.batch, FLAGS.steps, FLAGS.remat,
-                                FLAGS.crop or None)))
+                                FLAGS.crop or None, FLAGS.fold)))
 
     app.run(run, argv=argv)
 

@@ -68,7 +68,19 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
                     "on the %d-device mesh", len(devices))
         fused = "aligned"
     dw_fused.set_enabled(fused)
-    model = create_model(cfg, dtype=dtype, bn_groups=bn_groups)
+    # Time-folded layout: resolve "auto" against the PER-DEVICE batch (the
+    # model's own auto gate only sees the global shape) — under SPMD each
+    # device's shard is what under/overfills the 128 lanes.  E.g. global
+    # batch 128 on an 8-chip data mesh is 16 clips/device: unfolded that
+    # wastes 8x lane padding on every shard (docs/PERF.md round 3).
+    time_fold = cfg.TPU.TIME_FOLD if "TIME_FOLD" in cfg.TPU else False
+    if time_fold == "auto":
+        local = max(1, cfg.TRAIN.BATCH_SIZE // mesh.shape["data"])
+        t = cfg.DATA.TEMP_DURATION
+        time_fold = (jax.default_backend() == "tpu"
+                     and local % 128 != 0 and (local * t) % 128 == 0)
+    model = create_model(cfg, dtype=dtype, bn_groups=bn_groups,
+                         time_fold=bool(time_fold))
     log.info("mesh=%s devices=%d dtype=%s bn_groups=%d backend=%s",
              dict(mesh.shape), len(devices), dtype.__name__, bn_groups,
              jax.default_backend())

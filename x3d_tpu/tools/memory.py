@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 
 
-def analyze(cfg, batch: int, mode: str, remat) -> dict:
+def analyze(cfg, batch: int, mode: str, remat, fold=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -23,7 +23,8 @@ def analyze(cfg, batch: int, mode: str, remat) -> dict:
                                make_train_step)
     from x3d_tpu.utils import tpu_compiler_options
 
-    model = create_model(cfg, dtype=jnp.bfloat16, remat=remat)
+    model = create_model(cfg, dtype=jnp.bfloat16, remat=remat,
+                         time_fold=fold)
     key = jax.random.PRNGKey(0)
     T = cfg.DATA.TEMP_DURATION
     S = (cfg.DATA.TRAIN_CROP_SIZE if mode == "train"
@@ -46,6 +47,7 @@ def analyze(cfg, batch: int, mode: str, remat) -> dict:
     return {
         "batch": batch,
         "remat": str(remat),
+        "fold": str(fold),
         "input": f"{batch * views}x{T}x{S}^2",
         "temp_gb": round(ma.temp_size_in_bytes / 1e9, 2),
         "args_gb": round(ma.argument_size_in_bytes / 1e9, 2),
@@ -65,6 +67,8 @@ def main(argv=None):
     flags.DEFINE_string("remat", "auto",
                         "Remat mode: auto/off/block/stage/convs.")
     flags.DEFINE_float("hbm_gb", 15.75, "Chip HBM capacity for the verdict.")
+    flags.DEFINE_string("fold", "config",
+                        "Time-folded layout: config/auto/on/off.")
     flags.mark_flags_as_required(["config"])
     FLAGS = flags.FLAGS
 
@@ -74,8 +78,10 @@ def main(argv=None):
         cfg = load_config(FLAGS.config)
         remat = {"auto": None, "true": True, "false": False,
                  "off": False}.get(FLAGS.remat.lower(), FLAGS.remat.lower())
+        fold = {"config": None, "auto": "auto", "on": True, "true": True,
+                "off": False, "false": False}[FLAGS.fold.lower()]
         for b in FLAGS.batch:
-            r = analyze(cfg, b, FLAGS.mode, remat)
+            r = analyze(cfg, b, FLAGS.mode, remat, fold)
             r["fits"] = r["total_gb"] <= FLAGS.hbm_gb
             print(json.dumps(r))
 
