@@ -44,9 +44,9 @@ import time
 
 BASELINE_TRAIN_CLIPS_PER_SEC_PER_CHIP = 30.0
 
-# L/XL: 312^2 with per-block remat; measured HBM (compile memory_analysis):
-# temp 15.9 GB at batch 24 (+0.3 GB args = OOM on a 15.75 GB v5e-1) vs
-# 13.8 GB at batch 16.
+# L/XL: 312^2, time-folded layout + no remat (see bench_variant); batch 16
+# is the HBM frontier (L B32 no-remat folded OOMs by 0.2 GB; B24 adds no
+# throughput — full lanes either way at B*T >= 256).
 TRAIN_BATCH = {"XS": 128, "S": 128, "M": 128, "L": 16, "XL": 16}
 TRAIN_STEPS = {"XS": 30, "S": 30, "M": 30, "L": 10, "XL": 10}
 
@@ -77,7 +77,12 @@ def bench_variant(name: str, on_accel: bool) -> dict:
         cfg.DATA.TEST_CROP_SIZE = 64
 
     dtype = jnp.bfloat16 if on_accel else jnp.float32
-    model = create_model(cfg, dtype=dtype)
+    # L/XL (312^2, batch 16): the time-folded layout (TPU.TIME_FOLD auto)
+    # shrinks activations enough that no-remat fits (11.74 / 14.96 GB
+    # compiled) and beats block remat by ~27% — L 34.5->49.7, XL
+    # 27.6->33.7 clips/s (tools/ab, docs/PERF.md round 3).
+    remat = False if (on_accel and name in ("L", "XL")) else None
+    model = create_model(cfg, dtype=dtype, remat=remat)
     key = jax.random.PRNGKey(0)
 
     T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE

@@ -90,3 +90,49 @@ def test_even_kernel_rejected():
     k2 = jnp.zeros((2, 3, 3, 1, 4), jnp.float32)
     with pytest.raises(ValueError):
         dw_fused.dw_bn_act_conv(x, a, b, k2)
+
+
+@pytest.mark.parametrize("kdims", [(3, 3, 3), (5, 3, 3)])
+def test_pbwd_grads_match_xla(kdims):
+    """dw_conv_pbwd: XLA forward + one-pass Pallas backward must reproduce
+    the XLA conv's value and gradients exactly (plain conv, no BN terms)."""
+    from x3d_tpu.ops.depthwise import depthwise_conv3d
+
+    B, T, H, W, C = 3, 5, 6, 5, 4
+    key = jax.random.PRNGKey(7)
+    u = jax.random.normal(key, (B, T, H, W, C), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1),
+                          kdims + (1, C), jnp.float32) * 0.3
+    g = jax.random.normal(jax.random.fold_in(key, 2), u.shape, jnp.float32)
+
+    def loss_ref(u, k):
+        return jnp.sum(depthwise_conv3d(u, k, impl="xla") * g)
+
+    def loss_got(u, k):
+        return jnp.sum(dw_fused.dw_conv_pbwd(u, k) * g)
+
+    y_ref = depthwise_conv3d(u, k, impl="xla")
+    y_got = dw_fused.dw_conv_pbwd(u, k)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(u, k)
+    gg = jax.grad(loss_got, argnums=(0, 1))(u, k)
+    np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pbwd_dispatch_falls_back():
+    """impl="pbwd" must route stride-2 / non-SAME cases to the XLA conv."""
+    from x3d_tpu.ops.depthwise import depthwise_conv3d
+
+    B, T, H, W, C = 2, 5, 8, 8, 3
+    key = jax.random.PRNGKey(8)
+    u = jax.random.normal(key, (B, T, H, W, C), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 1, C),
+                          jnp.float32)
+    a = depthwise_conv3d(u, k, strides=(1, 2, 2), impl="pbwd")
+    b = depthwise_conv3d(u, k, strides=(1, 2, 2), impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

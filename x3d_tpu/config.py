@@ -235,11 +235,17 @@ def _build_default() -> CfgNode:
                                          # granularity "block"/"stage"/
                                          # "convs" (auto = per-block for
                                          # the 312^2 variants only)
-    c.TPU.TIME_FOLD = False              # time-folded (B*T,1,H,W,C) layout
-                                         # for sub-128-lane batches (L/XL):
-                                         # True/False/"auto" (auto = TPU +
-                                         # B%128!=0 + (B*T)%128==0); see
-                                         # models/x3d.py X3D.time_fold
+    c.TPU.TIME_FOLD = "auto"             # time-folded (B*T,1,H,W,C) layout
+                                         # for sub-128-lane TRAIN batches
+                                         # (L/XL): True/False/"auto" (auto
+                                         # = TPU + B<128 + (B*T)%128==0;
+                                         # the CLI resolves it per-device
+                                         # and folds only train-shaped
+                                         # batches — see tools/common.
+                                         # setup_runtime).  Measured v5e-1:
+                                         # L train 34.5->49.7, XL 27.6->
+                                         # 33.7 clips/s with remat off
+                                         # (docs/PERF.md)
     c.TPU.FUSED_DW = "auto"              # fused BN+ReLU+depthwise Pallas
                                          # kernel (ops/dw_fused.py):
                                          # True/False/"auto" (auto = TPU,

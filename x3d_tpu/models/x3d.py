@@ -725,15 +725,19 @@ class X3D(nn.Module):
     #              less recompute)
     remat: Any = False
     bn_groups: int = 1   # >1: per-replica BN statistics (TPU.SYNC_BN=False)
-    # Time-folded layout (False/True/"auto"): carry activations as
-    # (B·T, 1, H, W, C) so the batch-minor lane dimension is filled even at
-    # sub-128 batches.  X3D never downsamples time, so every op has an
-    # exact folded form (temporal depthwise taps become static batch-axis
-    # shifts — ops/depthwise.depthwise_conv3d_folded); parameters, BN
-    # statistics and outputs are identical to the unfolded model.  "auto":
-    # fold on TPU when B underfills the 128 lanes but B·T fills them —
-    # the X3D-L/XL regime, where unfolded layouts waste 2.4–8× on lane
-    # padding (docs/PERF.md round 3).
+    # Time-folded layout (False/True/"auto"/int threshold): carry
+    # activations as (B·T, 1, H, W, C) so the batch-minor lane dimension
+    # is filled even at sub-128 batches.  X3D never downsamples time, so
+    # every op has an exact folded form (temporal depthwise taps become
+    # static batch-axis shifts — ops/depthwise.depthwise_conv3d_folded);
+    # parameters, BN statistics and outputs are identical to the unfolded
+    # model.  "auto": fold on TPU when B underfills the 128 lanes but B·T
+    # fills them — the X3D-L/XL TRAIN regime, where unfolded layouts
+    # waste 2.4–8× on lane padding (docs/PERF.md round 3).  Large (≥128)
+    # batches — eval view-ensembles — are never auto-folded: lanes are
+    # already full, and folding a 480-clip eval batch to 7680 rows blows
+    # XLA's compile time.  An int N folds batches with B ≤ N (the CLI
+    # passes the per-run train batch so eval batches stay unfolded).
     time_fold: Any = False
 
     @nn.compact
@@ -743,7 +747,9 @@ class X3D(nn.Module):
         B0, T0 = x.shape[0], x.shape[1]
         if fold == "auto":
             fold = (jax.default_backend() == "tpu"
-                    and B0 % 128 != 0 and (B0 * T0) % 128 == 0)
+                    and B0 < 128 and (B0 * T0) % 128 == 0)
+        elif isinstance(fold, int) and not isinstance(fold, bool):
+            fold = B0 <= fold
         fold_T = T0 if (fold and T0 > 1) else 0
         if fold_T and self.bn_groups > 1 and B0 % self.bn_groups:
             raise ValueError(

@@ -54,7 +54,7 @@ import flax.linen as nn
 # formulations were built to avoid, while they force materialised padded
 # copies.  Keep "xla" unless the batch layout story changes.
 _DEFAULT_IMPL = "xla"
-_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas", "bm", "xbwd")
+_VALID_IMPLS = ("shift", "shift_cvjp", "xla", "pallas", "bm", "xbwd", "pbwd")
 
 
 def set_default_impl(impl: str) -> None:
@@ -120,6 +120,20 @@ def depthwise_conv3d(
         if tuple(strides) != (1, 1, 1) or pads != same:
             return _dw_xla(x, kernel, strides, padding)
         return _dw_xbwd(x, kernel)
+    if impl == "pbwd":
+        # XLA forward emitter + one-pass Pallas backward (du + dk in a
+        # single stream — see ops/dw_fused.dw_conv_pbwd); stride-1 SAME
+        # odd-kernel full-lane cases only, else the XLA lowering
+        from x3d_tpu.ops import dw_fused
+        pads = _resolve_pads(x.shape, kernel.shape[:3], strides, padding)
+        same = tuple(same_pads(x.shape[1 + i], kernel.shape[i], 1)
+                     for i in range(3))
+        odd = all(k % 2 == 1 for k in kernel.shape[:3])
+        full = x.shape[0] % 128 == 0 or dw_fused.INTERPRET
+        if (tuple(strides) != (1, 1, 1) or pads != same or not odd
+                or not full or x.shape[1] < kernel.shape[0]):
+            return _dw_xla(x, kernel, strides, padding)
+        return dw_fused.dw_conv_pbwd(x, kernel)
     return _dw_shift(x, kernel, strides, padding)
 
 

@@ -407,6 +407,133 @@ def _bwd_kernel(xt_hbm, gyt_hbm, yt_hbm, a_ref, b_ref, gp_ref, gs22_ref,
         duu_ref[...] = duu_acc[...]
 
 
+# ------------------------------------------- backward-only (XLA fwd) kernel
+
+
+def _pbwd_kernel(ut_hbm, gyt_hbm, wkf_ref, du_ref, dk_ref,
+                 uring_ref, usems, gring_ref, gsems, dk_acc, *,
+                 kt, kh, kw, T, H, hc, W, C, B, store_dtype):
+    """One streaming pass producing du = conv(gy, flip(k)) and the per-tap
+    dk sums for a PLAIN depthwise conv (no BN affine / ReLU / stat terms —
+    the aligned path keeps those in XLA).  The forward stays on XLA's
+    emitter; only the backward (the measured ~75%-of-ceiling direction)
+    runs here.  Phase-static ring reads throughout."""
+    hi = pl.program_id(0)
+    t = pl.program_id(1)
+    nH = pl.num_programs(0)
+    halo, wpad = kh // 2, kw // 2
+    lo_t = kt // 2
+    nslots = kt + 1
+
+    def ident(raw, mask):
+        return jnp.where(mask, raw[0], jnp.zeros((), raw[0].dtype))
+
+    uring = _Ring([ut_hbm], uring_ref, usems, hi, hc, halo, wpad, W, H, nH,
+                  nslots, ident)
+    gring = _Ring([gyt_hbm], gring_ref, gsems, hi, hc, halo, wpad, W, H, nH,
+                  nslots, ident)
+
+    @pl.when(jnp.logical_and(hi == 0, t == 0))
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+
+    _ring_io_static([uring, gring], t, T, kt, lo_t, nslots)
+
+    for ph in range(nslots):
+        @pl.when(t % nslots == ph)
+        def _(ph=ph):
+            for r in range(hc):
+                du = _conv_row_ph(gring, ph, nslots, kt, kh, kw, lo_t, W,
+                                  wkf_ref, r,
+                                  tap_dtype=TAP_DTYPE or store_dtype)
+                du_ref[0, r] = du.astype(du_ref.dtype)
+                g_c = (gring.window_slot(ph)[r + halo, wpad:wpad + W]
+                       .astype(jnp.float32))
+                for dt in range(kt):
+                    win = uring.window_slot((ph + dt - lo_t) % nslots)
+                    for dh in range(kh):
+                        u_row = win[r + dh].astype(jnp.float32)  # (Wp, C, B)
+                        for dw in range(kw):
+                            tap = (dt * kh + dh) * kw + dw
+                            dk_acc[tap] += jnp.sum(
+                                u_row[dw:dw + W] * g_c, axis=0)
+
+    @pl.when(jnp.logical_and(hi == nH - 1, t == T - 1))
+    def _():
+        dk_ref[...] = dk_acc[...]
+
+
+def _run_pbwd(u, gy, kernel):
+    B, T, H, W, C, kt, kh, kw = _dims(u, kernel)
+    halo, wpad = kh // 2, kw // 2
+    nslots = kt + 1
+    taps = kt * kh * kw
+    Wp = W + 2 * wpad
+    row_bytes = Wp * C * B * u.dtype.itemsize
+    hc = _pick_hc(H, row_bytes, halo, 2 * nslots,
+                  acc_bytes_per_row=W * C * B * 8)
+    ut, gyt = _bm_views(u), _bm_views(gy.astype(u.dtype))
+    wkf = _tap_weights(kernel[::-1, ::-1, ::-1], B)
+    kern = functools.partial(
+        _pbwd_kernel, kt=kt, kh=kh, kw=kw, T=T, H=H, hc=hc, W=W, C=C, B=B,
+        store_dtype=u.dtype)
+    du, dk_l = pl.pallas_call(
+        kern,
+        grid=(H // hc, T),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, hc, W, C, B), lambda hi, t: (t, hi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, H, W, C, B), u.dtype),
+            jax.ShapeDtypeStruct((taps, C, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), u.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 1, 3)),
+            pltpu.VMEM((nslots, 1, hc + 2 * halo, Wp, C, B), u.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 1, 3)),
+            pltpu.VMEM((taps, C, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=INTERPRET,
+    )(ut, gyt, wkf)
+    return jnp.transpose(du, (4, 0, 1, 2, 3)), dk_l
+
+
+@jax.custom_vjp
+def dw_conv_pbwd(u, kernel):
+    """Depthwise 3D conv (stride 1, SAME, odd dims): XLA's forward emitter
+    with a one-pass Pallas backward (du + dk in a single stream over
+    (u, gy) — vs XLA's separate dx conv and weight-grad conv).  The
+    dispatch hook is ``ops.depthwise`` impl ``"pbwd"``."""
+    return jax.lax.conv_general_dilated(
+        u, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=u.shape[-1],
+        preferred_element_type=u.dtype)
+
+
+def _pbwd_fwd_rule(u, kernel):
+    return dw_conv_pbwd(u, kernel), (u, kernel)
+
+
+def _pbwd_bwd_rule(res, gy):
+    u, kernel = res
+    du, dk_l = _run_pbwd(u, gy, kernel)
+    kt, kh, kw = kernel.shape[:3]
+    dk = dk_l.sum(axis=2).reshape(kt, kh, kw, 1, -1).astype(kernel.dtype)
+    return du, dk
+
+
+dw_conv_pbwd.defvjp(_pbwd_fwd_rule, _pbwd_bwd_rule)
+
+
 # ------------------------------------------------------------ host wrappers
 
 

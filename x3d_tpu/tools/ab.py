@@ -40,7 +40,11 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
     from x3d_tpu.train import create_train_state, make_train_step
     from x3d_tpu.utils import tpu_compiler_options
 
-    if dw in ("off", "aligned", "pallas"):
+    if dw == "aligned_pbwd":
+        # aligned segment structure + the XLA-fwd/Pallas-bwd dw lowering
+        dw_fused.set_enabled("aligned")
+        depthwise.set_default_impl("pbwd")
+    elif dw in ("off", "aligned", "pallas"):
         dw_fused.set_enabled(False if dw == "off" else dw)
     else:
         dw_fused.set_enabled(False)

@@ -74,13 +74,26 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
     # batch 128 on an 8-chip data mesh is 16 clips/device: unfolded that
     # wastes 8x lane padding on every shard (docs/PERF.md round 3).
     time_fold = cfg.TPU.TIME_FOLD if "TIME_FOLD" in cfg.TPU else False
+    local = max(1, cfg.TRAIN.BATCH_SIZE // mesh.shape["data"])
     if time_fold == "auto":
-        local = max(1, cfg.TRAIN.BATCH_SIZE // mesh.shape["data"])
         t = cfg.DATA.TEMP_DURATION
-        time_fold = (jax.default_backend() == "tpu"
-                     and local % 128 != 0 and (local * t) % 128 == 0)
+        fold_train = (jax.default_backend() == "tpu"
+                      and local < 128 and (local * t) % 128 == 0)
+        # Threshold form: fold train-shaped batches only — eval view-
+        # ensemble batches are ≥128 clips (lanes already full) and folding
+        # them explodes XLA compile time (docs/PERF.md).
+        time_fold = cfg.TRAIN.BATCH_SIZE if fold_train else False
+    # Folding shrinks the 312^2 variants' lane-padded activations enough
+    # that no-remat fits at the production per-device batch (measured
+    # v5e-1: L B16 11.74 GB, XL B16 14.96 GB) and runs ~27% faster than
+    # block remat (L 39.1 -> 49.7 clips/s) — resolve REMAT="auto"
+    # accordingly; explicit settings are respected.
+    remat = None
+    if (time_fold and cfg.TPU.REMAT == "auto"
+            and cfg.DATA.TRAIN_CROP_SIZE >= 312 and local <= 16):
+        remat = False
     model = create_model(cfg, dtype=dtype, bn_groups=bn_groups,
-                         time_fold=bool(time_fold))
+                         remat=remat, time_fold=time_fold)
     log.info("mesh=%s devices=%d dtype=%s bn_groups=%d backend=%s",
              dict(mesh.shape), len(devices), dtype.__name__, bn_groups,
              jax.default_backend())
