@@ -128,3 +128,21 @@ def test_fold_rejects_group_splitting_batches():
     x = jax.random.normal(jax.random.PRNGKey(0), (4,) + CLIP)
     with pytest.raises(ValueError, match="divisible by bn_groups"):
         init_variables(model, jax.random.PRNGKey(1), x, train=True)
+
+
+def test_resolve_time_fold_gate():
+    """Gate semantics: bools pass through; "auto" needs TPU + B<128 +
+    (B*T)%128==0 (so it is off in this CPU suite and off for >=128-clip
+    eval batches everywhere); an int N folds only batches with B <= N."""
+    from x3d_tpu.models.x3d import resolve_time_fold
+
+    assert resolve_time_fold(True, 480, 16) is True
+    assert resolve_time_fold(False, 16, 16) is False
+    # "auto" is False on CPU regardless of shape
+    assert resolve_time_fold("auto", 16, 16) is False
+    # threshold form: train-shaped batches fold, eval ensembles do not
+    assert resolve_time_fold(16, 16, 16) is True
+    assert resolve_time_fold(16, 8, 16) is True
+    assert resolve_time_fold(16, 480, 16) is False
+    # bool is not treated as a threshold (True must fold batch 2 > 1)
+    assert resolve_time_fold(True, 2, 16) is True

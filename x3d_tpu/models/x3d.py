@@ -402,6 +402,23 @@ class SqueezeExcite(nn.Module):
         return x * s.astype(x.dtype)
 
 
+def resolve_time_fold(time_fold, batch: int, temp: int) -> bool:
+    """Resolve an ``X3D.time_fold`` setting against a concrete input shape.
+
+    False/True pass through; "auto" folds on TPU when the batch underfills
+    the 128 lanes but B·T tiles them exactly (the L/XL train regime); an
+    int N folds batches with B ≤ N (the CLI passes the per-run train batch
+    so large eval view-ensembles never fold — folding a 480-clip eval
+    batch to 7680 rows blows XLA's compile time, docs/PERF.md round 3).
+    """
+    if time_fold == "auto":
+        return (jax.default_backend() == "tpu"
+                and batch < 128 and (batch * temp) % 128 == 0)
+    if isinstance(time_fold, int) and not isinstance(time_fold, bool):
+        return batch <= time_fold
+    return bool(time_fold)
+
+
 def _ckpt_name(x, on: bool):
     """Tag a conv output for the "convs" remat policy (identity otherwise)."""
     if not on:
@@ -743,13 +760,8 @@ class X3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         arch = self.arch
-        fold = self.time_fold
         B0, T0 = x.shape[0], x.shape[1]
-        if fold == "auto":
-            fold = (jax.default_backend() == "tpu"
-                    and B0 < 128 and (B0 * T0) % 128 == 0)
-        elif isinstance(fold, int) and not isinstance(fold, bool):
-            fold = B0 <= fold
+        fold = resolve_time_fold(self.time_fold, B0, T0)
         fold_T = T0 if (fold and T0 > 1) else 0
         if fold_T and self.bn_groups > 1 and B0 % self.bn_groups:
             raise ValueError(

@@ -8,14 +8,17 @@ docs/PERF.md).  This tool times the complete X3D train step under a chosen
 combination of dispatch knobs:
 
     python -m x3d_tpu.tools.ab --dw=aligned --pw=conv [--variant=M]
-        [--batch=128] [--steps=20] [--remat=block] [--crop=224]
+        [--batch=128] [--steps=20] [--remat=block] [--crop=224] [--fold=on]
 
-  --dw:    off | aligned | pallas | xla | shift | shift_cvjp | bm | xbwd
+  --dw:    off | aligned | pallas | aligned_pbwd | xla | shift |
+           shift_cvjp | bm | xbwd | pbwd
            (off/aligned/pallas select the bottleneck segment mode in
-           ops/dw_fused.py; the rest select ops/depthwise.py lowerings with
-           the segment mode off)
+           ops/dw_fused.py; aligned_pbwd = aligned segment + the
+           XLA-fwd/Pallas-bwd dw lowering; the rest select ops/depthwise.py
+           lowerings with the segment mode off)
   --pw:    conv | einsum | auto | mxu | mxu_exp | mxu_seg  (ops/pointwise.py)
   --remat: auto | off | block | stage | convs  (models/x3d.py granularity)
+  --fold:  config | auto | on | off  (time-folded layout, models/x3d.py)
 
 Prints one JSON line with step_ms and clips_per_s (min over 3 timed
 rounds of --steps chained steps, dispatch overhead amortized).
