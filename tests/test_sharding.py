@@ -367,3 +367,25 @@ def test_time_fold_sharded_matches_unfolded(eight_devices):
         else:
             # per-replica BN on folded shards still executes and is finite
             assert np.isfinite(float(metrics["loss"]))
+
+
+def test_compiled_hlo_collectives_folded(eight_devices):
+    """The zero-ICI per-replica-BN claim must survive the time-folded
+    layout: compile the folded grouped-BN step on a 4x2 mesh and assert
+    the same collective structure as the unfolded test — exactly one
+    forward in-model all-reduce (the fc_2 TP reduce), nothing
+    BN-statistics-shaped, gradient all-reduces present."""
+    mesh = create_mesh(data=4, model=2, devices=eight_devices)
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((8, 4, 16, 16, 3))
+    label = jnp.arange(8) % 16
+    folded = create_model(cfg, dtype=jnp.float32, bn_groups=4,
+                          time_fold=True)
+    ars = _compiled_all_reduces(folded, cfg, mesh, video, label, key)
+    fwd = [a for a in ars if a[0] and "X3D)/" in a[1]]
+    assert len(fwd) == 1, fwd
+    assert "fc_2" in fwd[0][1], fwd
+    assert (fwd[0][2], fwd[0][3]) == (4, 2), fwd
+    assert not any("/norm/" in a[1] for a in fwd), fwd
+    assert any(not a[0] for a in ars)

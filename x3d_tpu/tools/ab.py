@@ -19,6 +19,8 @@ combination of dispatch knobs:
   --pw:    conv | einsum | auto | mxu | mxu_exp | mxu_seg  (ops/pointwise.py)
   --remat: auto | off | block | stage | convs  (models/x3d.py granularity)
   --fold:  config | auto | on | off  (time-folded layout, models/x3d.py)
+  --mode:  train (default, full step) | eval (view-ensemble forward at the
+           variant's test protocol; --batch then counts VIDEOS)
 
 Prints one JSON line with step_ms and clips_per_s (min over 3 timed
 rounds of --steps chained steps, dispatch overhead amortized).
@@ -32,7 +34,9 @@ import time
 
 def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
            remat: str = "auto", crop: int | None = None,
-           fold: str = "config") -> dict:
+           fold: str = "config", mode: str = "train") -> dict:
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +44,8 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
     from x3d_tpu import variant_config
     from x3d_tpu.models import create_model
     from x3d_tpu.ops import depthwise, dw_fused, pointwise
-    from x3d_tpu.train import create_train_state, make_train_step
+    from x3d_tpu.train import (create_train_state, make_eval_step,
+                               make_train_step)
     from x3d_tpu.utils import tpu_compiler_options
 
     if dw == "aligned_pbwd":
@@ -65,7 +70,43 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
     model = create_model(cfg, dtype=dtype, remat=remat_arg,
                          time_fold=fold_arg)
     key = jax.random.PRNGKey(0)
-    T, S = cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE
+    T = cfg.DATA.TEMP_DURATION
+    S = (cfg.DATA.TRAIN_CROP_SIZE if mode == "train"
+         else cfg.DATA.TEST_CROP_SIZE)
+
+    if mode == "eval":
+        # --batch counts VIDEOS; the eval batch is videos x views clips.
+        # Steps chain through the label tensor behind an optimization
+        # barrier (the bench.py methodology — see its module docstring).
+        views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        video = jax.random.normal(key, (batch * views, T, S, S, 3),
+                                  dtype=dtype)
+        label = jnp.zeros((batch,), jnp.int32)
+        state = create_train_state(cfg, model, key, video[:1],
+                                   steps_per_epoch=1000)
+        eval_step = make_eval_step(model)
+
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def chained(st, x, lab):
+            out = eval_step(st, {"video": x, "label": lab})
+            lab, _ = jax.lax.optimization_barrier((lab, out["loss_sum"]))
+            return lab, out
+
+        label, out = chained(state, video, label)
+        float(np.asarray(out["loss_sum"]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                label, out = chained(state, video, label)
+            float(np.asarray(out["loss_sum"]))
+            best = min(best, (time.perf_counter() - t0) / steps)
+        return {"variant": variant, "mode": "eval", "dw": dw, "pw": pw,
+                "videos": batch, "views": views, "clips": batch * views,
+                "fold": str(fold), "input": f"{T}x{S}^2",
+                "step_ms": round(best * 1e3, 2),
+                "clips_per_s": round(batch * views / best, 2)}
+
     video = jax.random.normal(key, (batch, T, S, S, 3), dtype=dtype)
     label = jnp.arange(batch) % cfg.NETWORK.NUM_CLASSES
     batch_d = {"video": video, "label": label}
@@ -104,12 +145,16 @@ def main(argv=None):
     flags.DEFINE_integer("crop", 0, "Override TRAIN_CROP_SIZE (0 = config).")
     flags.DEFINE_string("fold", "config",
                         "Time-folded layout: config/auto/on/off.")
+    flags.DEFINE_string("mode", "train",
+                        "train (full step) or eval (view-ensemble forward; "
+                        "--batch counts videos).")
     FLAGS = flags.FLAGS
 
     def run(_):
         print(json.dumps(run_ab(FLAGS.variant.upper(), FLAGS.dw, FLAGS.pw,
                                 FLAGS.batch, FLAGS.steps, FLAGS.remat,
-                                FLAGS.crop or None, FLAGS.fold)))
+                                FLAGS.crop or None, FLAGS.fold,
+                                FLAGS.mode)))
 
     app.run(run, argv=argv)
 
