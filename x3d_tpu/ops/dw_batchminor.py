@@ -166,7 +166,7 @@ def _run_fwd(xp, wk, kdims, out_dtype):
         kernel,
         grid=(H // hc, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # padded input in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # padded input in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # (taps, Cp, B) weights
         ],
         out_specs=pl.BlockSpec((1, hc, W, Cp, B),
@@ -251,7 +251,7 @@ def _dw_bm_bwd(kdims, res, g):
         kernel_fn,
         grid=(H // hc, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, hc, W, Cp, B), lambda hi, t: (t, hi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
