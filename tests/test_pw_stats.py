@@ -105,9 +105,11 @@ def test_act_conv_vjp_matches_autodiff():
 
 
 @pytest.mark.parametrize("impl", ["mxu_exp", "mxu_seg"])
-def test_aligned_model_with_mxu_stats_matches_reference(impl):
+@pytest.mark.parametrize("bn_groups", [1, 2])
+def test_aligned_model_with_mxu_stats_matches_reference(impl, bn_groups):
     """Full tiny-model train step: aligned mode + MXU pw stats == the
-    unfused composition (loss, grads, batch stats)."""
+    unfused composition (loss, grads, batch stats) — including the grouped
+    (per-replica BN) stat reductions from the kernels' per-sample sums."""
     from x3d_tpu import variant_config
     from x3d_tpu.models import create_model
     from x3d_tpu.ops import dw_fused, pointwise
@@ -118,7 +120,7 @@ def test_aligned_model_with_mxu_stats_matches_reference(impl):
     cfg.NETWORK.DEPTH_FACTOR = 0.34
     cfg.NETWORK.NUM_CLASSES = 8
     cfg.NETWORK.DROPOUT_RATE = 0.0
-    model = create_model(cfg, dtype=jnp.float32)
+    model = create_model(cfg, dtype=jnp.float32, bn_groups=bn_groups)
     key = jax.random.PRNGKey(0)
     video = jax.random.normal(key, (4, 4, 16, 16, 3))
     label = jnp.arange(4) % 8

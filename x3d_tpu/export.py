@@ -85,10 +85,17 @@ def export_saved_model(cfg, variables, export_dir: str, *,
 
     # The TPU layout modes (aligned/pallas segment, remat, fold) are
     # jit-time optimisations with concrete-batch gates; trace the portable
-    # plain composition.  Tracing happens in get_concrete_function, so the
-    # guard must cover it.
+    # plain composition.  Pin ALL the op-dispatch globals (a prior
+    # tools.ab / set_default_impl call in this process could otherwise
+    # leak TPU-only Pallas custom calls into the artifact).  Tracing
+    # happens in get_concrete_function, so the guard must cover it.
+    from x3d_tpu.ops import depthwise, pointwise
+
     old_mode = dw_fused._ENABLED
+    old_dw, old_pw = depthwise._DEFAULT_IMPL, pointwise._DEFAULT_IMPL
     dw_fused.set_enabled(False)
+    depthwise.set_default_impl("xla")
+    pointwise.set_default_impl("conv")
     try:
         converted = jax2tf.convert(clip_probs, polymorphic_shapes=poly,
                                    with_gradient=False)
@@ -107,6 +114,8 @@ def export_saved_model(cfg, variables, export_dir: str, *,
         cf_videos = serve_videos.get_concrete_function()
     finally:
         dw_fused.set_enabled(old_mode)
+        depthwise.set_default_impl(old_dw)
+        pointwise.set_default_impl(old_pw)
 
     module.serve_clips = serve_clips
     module.serve_videos = serve_videos

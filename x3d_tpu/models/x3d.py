@@ -419,6 +419,31 @@ def resolve_time_fold(time_fold, batch: int, temp: int) -> bool:
     return bool(time_fold)
 
 
+def _stats_from_sums(p, s2, g: int, n: int, c: int = None):
+    """BN (mean, var) from per-sample-column kernel sums.
+
+    ``p``/``s2`` are (Cfull, Bn) f32 sum / sum-of-squares columns as emitted
+    by the fused MXU/segment kernels (clip-major: column b belongs to BN
+    group ``b // (Bn // g)``).  ``n`` is the global element count per
+    channel; ``c`` optionally slices padded channels.  Returns (c,) vectors
+    for g == 1 and (g, c) per-group rows otherwise — the shapes
+    ``_BN(..., stats=...)`` consumes.
+    """
+    if g > 1:
+        Bn = p.shape[1]
+        pg = p.reshape(p.shape[0], g, Bn // g).sum(-1)
+        sg = s2.reshape(s2.shape[0], g, Bn // g).sum(-1)
+        if c is not None:
+            pg, sg = pg[:c], sg[:c]
+        mean = jnp.transpose(pg) / (n // g)
+        return mean, jnp.transpose(sg) / (n // g) - mean * mean
+    pv, sv = p.sum(axis=1), s2.sum(axis=1)
+    if c is not None:
+        pv, sv = pv[:c], sv[:c]
+    mean = pv / n
+    return mean, sv / n - mean * mean
+
+
 def _ckpt_name(x, on: bool):
     """Tag a conv output for the "convs" remat policy (identity otherwise)."""
     if not on:
@@ -510,15 +535,7 @@ class Bottleneck(nn.Module):
                     # as bn_b's p/s2 below
                     pa = jax.lax.optimization_barrier(p_a)
                     sa = jax.lax.optimization_barrier(s2_a)
-                    if g > 1:
-                        pg = pa.reshape(Cp, g, Bn // g).sum(-1)[:C]
-                        sg = sa.reshape(Cp, g, Bn // g).sum(-1)[:C]
-                        mean_a = jnp.transpose(pg) / (n_a // g)
-                        var_a = (jnp.transpose(sg) / (n_a // g)
-                                 - mean_a * mean_a)
-                    else:
-                        mean_a = pa.sum(axis=1)[:C] / n_a
-                        var_a = sa.sum(axis=1)[:C] / n_a - mean_a * mean_a
+                    mean_a, var_a = _stats_from_sums(pa, sa, g, n_a, c=C)
                 else:
                     x32 = out.astype(jnp.float32)
                     # barrier the stat vectors before slicing to C: XLA
@@ -573,16 +590,10 @@ class Bottleneck(nn.Module):
             p = jax.lax.optimization_barrier(p)
             s2 = jax.lax.optimization_barrier(s2)
             n = Bn * Tn * Hn * Wn
-            if g > 1 and train:
-                # per-replica statistics from the same per-sample sums
-                pg = p.reshape(Cp, g, Bn // g).sum(-1)[:C]       # (C, g)
-                sg = s2.reshape(Cp, g, Bn // g).sum(-1)[:C]
-                ng = n // g
-                mean_b = jnp.transpose(pg) / ng                  # (g, C)
-                var_b = jnp.transpose(sg) / ng - mean_b * mean_b
-            else:
-                mean_b = p.sum(axis=1)[:C] / n
-                var_b = s2.sum(axis=1)[:C] / n - mean_b * mean_b
+            # per-replica statistics from the same per-sample sums when
+            # training grouped; eval stats are unused (running stats apply)
+            mean_b, var_b = _stats_from_sums(p, s2, g if train else 1, n,
+                                             c=C)
             mul_b, add_b = bn("bn_b")(None, train, stats=(mean_b, var_b),
                                       coefs=True, c=C)
             # multiplier pads are 1 (not 0): an all-zero broadcast column
@@ -628,15 +639,7 @@ class Bottleneck(nn.Module):
                 p_c = jax.lax.optimization_barrier(p_c)
                 s2_c = jax.lax.optimization_barrier(s2_c)
                 n_c = Bn * Tn * Hn * Wn
-                if g > 1:
-                    pg = p_c.reshape(Cout, g, Bn // g).sum(-1)
-                    sg = s2_c.reshape(Cout, g, Bn // g).sum(-1)
-                    mean_c = jnp.transpose(pg) / (n_c // g)
-                    var_c = (jnp.transpose(sg) / (n_c // g)
-                             - mean_c * mean_c)
-                else:
-                    mean_c = p_c.sum(axis=1) / n_c
-                    var_c = s2_c.sum(axis=1) / n_c - mean_c * mean_c
+                mean_c, var_c = _stats_from_sums(p_c, s2_c, g, n_c)
                 mul_c, add_c = bn("bn_c")(None, train,
                                           stats=(mean_c, var_c),
                                           coefs=True, c=Cout)

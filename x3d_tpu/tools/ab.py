@@ -61,10 +61,12 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
 
     cfg = variant_config(variant)
     if crop:
+        # override whichever geometry this mode actually benchmarks
         cfg.DATA.TRAIN_CROP_SIZE = crop
+        cfg.DATA.TEST_CROP_SIZE = crop
     dtype = jnp.bfloat16
     remat_arg = {"auto": None, "true": True, "false": False,
-                 "off": False}.get(str(remat).lower(), remat)
+                 "off": False}.get(str(remat).lower(), str(remat).lower())
     fold_arg = {"config": None, "auto": "auto", "on": True, "true": True,
                 "off": False, "false": False}[str(fold).lower()]
     model = create_model(cfg, dtype=dtype, remat=remat_arg,

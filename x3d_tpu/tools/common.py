@@ -68,6 +68,22 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
                     "on the %d-device mesh", len(devices))
         fused = "aligned"
     dw_fused.set_enabled(fused)
+    # Same rule for the op-dispatch hooks (tools.ab / set_default_impl may
+    # have left a Pallas impl selected in this process): the Pallas
+    # kernels have no SPMD partitioning rule — downgrade to the XLA
+    # lowerings on multi-device meshes.
+    from x3d_tpu.ops import depthwise, pointwise
+    if len(devices) > 1:
+        if depthwise._DEFAULT_IMPL not in ("xla", "shift", "shift_cvjp"):
+            log.warning("depthwise impl %r has no SPMD rule; using 'xla' on "
+                        "the %d-device mesh", depthwise._DEFAULT_IMPL,
+                        len(devices))
+            depthwise.set_default_impl("xla")
+        if pointwise._DEFAULT_IMPL not in ("conv", "einsum", "auto"):
+            log.warning("pointwise impl %r has no SPMD rule; using 'conv' on "
+                        "the %d-device mesh", pointwise._DEFAULT_IMPL,
+                        len(devices))
+            pointwise.set_default_impl("conv")
     # Time-folded layout: resolve "auto" against the PER-DEVICE batch (the
     # model's own auto gate only sees the global shape) — under SPMD each
     # device's shard is what under/overfills the 128 lanes.  E.g. global

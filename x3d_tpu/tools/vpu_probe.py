@@ -7,7 +7,7 @@ elements/lane-cycle (packed (16,128) tiles).  This kernel measures exactly
 that: a chain of UNROLL dependent multiply-adds on a VMEM-resident block,
 no HBM traffic inside the timed region beyond one read + one write.
 
-    python -m x3d_tpu.tools.vpu_probe [--unroll=48] [--mb=16]
+    python -m x3d_tpu.tools.vpu_probe [--unroll=8] [--mb=2]
 
 Prints one JSON line with achieved multiply-add element-ops/ms per dtype
 and the bf16/f32 ratio: ~2.0 means packed bf16 ALU ops are real (the
