@@ -191,6 +191,32 @@ def test_sync_bn_config_wires_into_runtime(eight_devices, tmp_path):
     assert model2.bn_groups == 1
 
 
+def test_runtime_downgrades_pallas_impls_on_mesh(eight_devices, tmp_path):
+    """Pallas op impls have no SPMD partitioning rule: setup_runtime must
+    reset a leftover set_default_impl selection on a multi-device mesh."""
+    from x3d_tpu.ops import depthwise, pointwise
+    from x3d_tpu.tools.common import load_config, setup_runtime
+
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text("TPU:\n  SYNC_BN: True\n")
+    old_dw, old_pw = depthwise._DEFAULT_IMPL, pointwise._DEFAULT_IMPL
+    try:
+        depthwise.set_default_impl("pbwd")
+        pointwise.set_default_impl("mxu_seg")
+        setup_runtime(load_config(str(yaml)), 8, False, False)
+        assert depthwise._DEFAULT_IMPL == "xla"
+        assert pointwise._DEFAULT_IMPL == "conv"
+        # single-device: explicit selections are left alone
+        depthwise.set_default_impl("pbwd")
+        pointwise.set_default_impl("mxu_seg")
+        setup_runtime(load_config(str(yaml)), 1, False, False)
+        assert depthwise._DEFAULT_IMPL == "pbwd"
+        assert pointwise._DEFAULT_IMPL == "mxu_seg"
+    finally:
+        depthwise.set_default_impl(old_dw)
+        pointwise.set_default_impl(old_pw)
+
+
 def test_eval_step_sharded(eight_devices):
     mesh = create_mesh(devices=eight_devices)
     cfg = tiny_cfg()
