@@ -89,6 +89,21 @@ def test_serving_default_signature(exported):
     assert out["probabilities"].shape == (2, cfg.NETWORK.NUM_CLASSES)
 
 
+def test_tflite_conversion(exported, tmp_path):
+    """Fixed-batch export converts to a .tflite flatbuffer (Flex ops: the
+    depthwise 3D convs exceed TFLite's builtin CONV_3D; execution needs a
+    Flex-enabled interpreter, absent here — conversion only)."""
+    from x3d_tpu.export import export_tflite
+
+    cfg, model, variables, _ = exported
+    sm = str(tmp_path / "sm_fixed")
+    export_saved_model(cfg, variables, sm, batch_clips=2)
+    out = export_tflite(sm, str(tmp_path / "x3d.tflite"))
+    import os
+
+    assert os.path.getsize(out) > 100_000  # real flatbuffer, not a stub
+
+
 def test_export_cli(tmp_path):
     """The CLI exports (random init) and the artifact loads."""
     import os

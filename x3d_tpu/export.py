@@ -129,6 +129,35 @@ def export_saved_model(cfg, variables, export_dir: str, *,
     return export_dir
 
 
+def export_tflite(saved_model_dir: str, output_path: str,
+                  signature: str = "serve_clips") -> str:
+    """Convert an exported SavedModel to a ``.tflite`` flatbuffer.
+
+    X3D's depthwise 3D convolutions exceed TFLite's builtin CONV_3D (no
+    grouped-conv support), so the flatbuffer carries them as Select-TF
+    (Flex) ops: running it requires a Flex-enabled interpreter — the
+    standard ``tensorflow-lite-select-tf-ops`` dependency on Android/iOS,
+    or a full-TF Python build.  Conversion is covered by tests; execution
+    is NOT exercised in this container (its bundled interpreter lacks the
+    Flex delegate — labeled the same way as the decord branch in
+    ``data/video.py``).
+
+    Requires a fixed-batch export (``export_saved_model(batch_clips=N)``):
+    under a polymorphic batch the residual-projection strided slices lower
+    to ``dynamic_gather``, which the vhlo serializer rejects.
+    """
+    import tensorflow as tf
+
+    conv = tf.lite.TFLiteConverter.from_saved_model(
+        saved_model_dir, signature_keys=[signature])
+    conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                      tf.lite.OpsSet.SELECT_TF_OPS]
+    blob = conv.convert()
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    return output_path
+
+
 def _plain_dict(tree):
     """FrozenDict -> plain nested dict (tf.nest needs builtin containers)."""
     if hasattr(tree, "unfreeze"):

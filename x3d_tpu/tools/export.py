@@ -27,6 +27,11 @@ flags.DEFINE_integer(
     "Fix the clip-batch dimension (0 = shape-polymorphic batch).")
 flags.DEFINE_string("dtype", "float32",
                     "In-graph compute dtype: float32 | bfloat16.")
+flags.DEFINE_string(
+    "tflite", None,
+    "Also write a .tflite flatbuffer to this path (requires "
+    "--batch_clips; runtime needs a Flex-enabled interpreter — see "
+    "x3d_tpu/export.py:export_tflite).")
 flags.DEFINE_bool(
     "allow_random_init", False,
     "Export a randomly initialised model when no checkpoint exists "
@@ -83,6 +88,14 @@ def main(_):
         cfg, variables, FLAGS.export_dir, dtype=dtype,
         batch_clips=FLAGS.batch_clips or None)
     log.info("SavedModel written to %s", out)
+    if FLAGS.tflite:
+        if not FLAGS.batch_clips:
+            raise app.UsageError("--tflite requires --batch_clips (the "
+                                 "polymorphic batch does not serialize to "
+                                 "TFLite — see export_tflite's docstring)")
+        from x3d_tpu.export import export_tflite
+        log.info("TFLite flatbuffer written to %s",
+                 export_tflite(out, FLAGS.tflite))
     print(out)
 
 
