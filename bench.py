@@ -107,15 +107,19 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     train_dt = (time.perf_counter() - t0) / steps
     train_cps = train_batch / train_dt
 
-    # inference: eval protocol batch (views folded into batch dim).
-    # 64 videos/batch for the 160/224-px variants: throughput scales past
-    # the dispatch floor up to ~640 clips (1089 -> 1537 clips/s on X3D-M);
-    # 960 clips OOM.  312-px variants keep smaller batches.
+    # inference: eval protocol batch (views folded into batch dim), always
+    # unfolded (the auto time-fold gate is train-only; folded eval loses —
+    # docs/PERF.md round 3).  64 videos/batch for the 160/224-px variants:
+    # throughput scales past the dispatch floor up to ~640 clips
+    # (1089 -> 1537 clips/s on X3D-M); 960 clips OOM.  312^2 eval has no
+    # backward pressure and scales likewise: L 64 videos (192 clips,
+    # 11.8 GB) 344 clips/s vs 246 at 16 videos (96 videos OOM); XL peaks
+    # at 32 videos (96 clips, 7.6 GB) 220 clips/s — 48 videos still fits
+    # (14.5 GB) but the near-OOM schedule regresses to 183 (docs/PERF.md).
     del video, batch   # free the train buffers before the big eval batch
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    big = cfg.DATA.TEST_CROP_SIZE >= 312
-    infer_videos = ((16 if big else 64) if views <= 10 else 4) \
-        if on_accel else 1
+    eval_videos = {"L": 64, "XL": 32}.get(name, 64)
+    infer_videos = (eval_videos if views <= 10 else 4) if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),
                                dtype=dtype)

@@ -131,15 +131,20 @@ def test_fold_rejects_group_splitting_batches():
 
 
 def test_resolve_time_fold_gate():
-    """Gate semantics: bools pass through; "auto" needs TPU + B<128 +
-    (B*T)%128==0 (so it is off in this CPU suite and off for >=128-clip
-    eval batches everywhere); an int N folds only batches with B <= N."""
+    """Gate semantics: bools pass through; "auto" needs train-mode + TPU +
+    B<128 + (B*T)%128==0 (so it is off in this CPU suite, off for
+    >=128-clip eval batches everywhere, and NEVER folds eval calls — a
+    48-clip X3D-L view ensemble folded measured 178 vs 246 unfolded
+    clips/s, docs/PERF.md round 3); an int N folds only batches with
+    B <= N."""
     from x3d_tpu.models.x3d import resolve_time_fold
 
     assert resolve_time_fold(True, 480, 16) is True
-    assert resolve_time_fold(False, 16, 16) is False
+    assert resolve_time_fold(False, 16, 16, train=True) is False
     # "auto" is False on CPU regardless of shape
-    assert resolve_time_fold("auto", 16, 16) is False
+    assert resolve_time_fold("auto", 16, 16, train=True) is False
+    # "auto" never folds eval-mode calls, even in the folding window
+    assert resolve_time_fold("auto", 16, 16, train=False) is False
     # threshold form: train-shaped batches fold, eval ensembles do not
     assert resolve_time_fold(16, 16, 16) is True
     assert resolve_time_fold(16, 8, 16) is True

@@ -402,17 +402,23 @@ class SqueezeExcite(nn.Module):
         return x * s.astype(x.dtype)
 
 
-def resolve_time_fold(time_fold, batch: int, temp: int) -> bool:
+def resolve_time_fold(time_fold, batch: int, temp: int,
+                      train: bool = False) -> bool:
     """Resolve an ``X3D.time_fold`` setting against a concrete input shape.
 
-    False/True pass through; "auto" folds on TPU when the batch underfills
-    the 128 lanes but B·T tiles them exactly (the L/XL train regime); an
-    int N folds batches with B ≤ N (the CLI passes the per-run train batch
-    so large eval view-ensembles never fold — folding a 480-clip eval
-    batch to 7680 rows blows XLA's compile time, docs/PERF.md round 3).
+    False/True pass through; "auto" folds TRAINING-mode calls on TPU when
+    the batch underfills the 128 lanes but B·T tiles them exactly (the
+    L/XL train regime); an int N folds batches with B ≤ N (the CLI passes
+    the per-run train batch so large eval view-ensembles never fold —
+    folding a 480-clip eval batch to 7680 rows blows XLA's compile time,
+    docs/PERF.md round 3).  Eval-mode calls never auto-fold: the forward-
+    only pass loses folded even at sub-128-clip view batches (X3D-L
+    48-clip ensemble: 178 folded vs 246 unfolded clips/s, and unfolded
+    eval scales to bigger batches instead — docs/PERF.md round 3), so
+    folded inference is explicit-opt-in via True/threshold.
     """
     if time_fold == "auto":
-        return (jax.default_backend() == "tpu"
+        return (train and jax.default_backend() == "tpu"
                 and batch < 128 and (batch * temp) % 128 == 0)
     if isinstance(time_fold, int) and not isinstance(time_fold, bool):
         return batch <= time_fold
@@ -764,7 +770,7 @@ class X3D(nn.Module):
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         arch = self.arch
         B0, T0 = x.shape[0], x.shape[1]
-        fold = resolve_time_fold(self.time_fold, B0, T0)
+        fold = resolve_time_fold(self.time_fold, B0, T0, train)
         fold_T = T0 if (fold and T0 > 1) else 0
         if fold_T and self.bn_groups > 1 and B0 % self.bn_groups:
             raise ValueError(

@@ -93,7 +93,8 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
     local = max(1, cfg.TRAIN.BATCH_SIZE // mesh.shape["data"])
     if time_fold == "auto":
         from x3d_tpu.models.x3d import resolve_time_fold
-        fold_train = resolve_time_fold("auto", local, cfg.DATA.TEMP_DURATION)
+        fold_train = resolve_time_fold("auto", local, cfg.DATA.TEMP_DURATION,
+                                       train=True)
         # Threshold form: fold train-shaped batches only — eval view-
         # ensemble batches are ≥128 clips (lanes already full) and folding
         # them explodes XLA compile time (docs/PERF.md).
