@@ -24,7 +24,8 @@ Protocol
   dropout, remat policy "auto" = 312^2 only) on synthetic device-resident
   data, bf16 compute.  Batch: 128 (XS/S/M), 16 (L/XL at 312^2).
 * infer: multi-view eval forward (softmax + view averaging) at each
-  variant's published protocol (10 temporal views XS/S/M, 10x3 L/XL).
+  variant's YAML protocol (10 temporal views x 1 center crop XS/S/M,
+  3 temporal views x 1 crop L/XL — configs/kinetics/X3D_L.yaml TEST).
 
 Baseline
 --------
@@ -118,7 +119,11 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     # (14.5 GB) but the near-OOM schedule regresses to 183 (docs/PERF.md).
     del video, batch   # free the train buffers before the big eval batch
     views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    eval_videos = {"L": 64, "XL": 32}.get(name, 64)
+    # Unknown variant names (X3D_BENCH_VARIANTS) fall back on crop size,
+    # not a blanket 64: a 312^2 eval batch of 64 videos OOMs for XL-class
+    # models.
+    default_videos = 16 if cfg.DATA.TEST_CROP_SIZE >= 312 else 64
+    eval_videos = {"L": 64, "XL": 32}.get(name, default_videos)
     infer_videos = (eval_videos if views <= 10 else 4) if on_accel else 1
     Se = cfg.DATA.TEST_CROP_SIZE
     evideo = jax.random.normal(key, (infer_videos * views, T, Se, Se, 3),

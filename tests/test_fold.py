@@ -135,8 +135,9 @@ def test_resolve_time_fold_gate():
     B<128 + (B*T)%128==0 (so it is off in this CPU suite, off for
     >=128-clip eval batches everywhere, and NEVER folds eval calls — a
     48-clip X3D-L view ensemble folded measured 178 vs 246 unfolded
-    clips/s, docs/PERF.md round 3); an int N folds only batches with
-    B <= N."""
+    clips/s, docs/PERF.md round 3); an int N folds only TRAINING-mode
+    batches with B <= N (small eval ensembles must not sneak under a
+    train-batch threshold); True is the only eval opt-in."""
     from x3d_tpu.models.x3d import resolve_time_fold
 
     assert resolve_time_fold(True, 480, 16) is True
@@ -145,9 +146,14 @@ def test_resolve_time_fold_gate():
     assert resolve_time_fold("auto", 16, 16, train=True) is False
     # "auto" never folds eval-mode calls, even in the folding window
     assert resolve_time_fold("auto", 16, 16, train=False) is False
-    # threshold form: train-shaped batches fold, eval ensembles do not
-    assert resolve_time_fold(16, 16, 16) is True
-    assert resolve_time_fold(16, 8, 16) is True
-    assert resolve_time_fold(16, 480, 16) is False
-    # bool is not treated as a threshold (True must fold batch 2 > 1)
+    # threshold form: train-shaped TRAIN batches fold, eval never does
+    assert resolve_time_fold(16, 16, 16, train=True) is True
+    assert resolve_time_fold(16, 8, 16, train=True) is True
+    assert resolve_time_fold(16, 480, 16, train=True) is False
+    # a 48-clip L/XL eval ensemble under a 128 train threshold stays
+    # unfolded (the ADVICE round-3 regression case)
+    assert resolve_time_fold(128, 48, 16, train=False) is False
+    assert resolve_time_fold(16, 16, 16, train=False) is False
+    # bool is not treated as a threshold (True must fold batch 2 > 1,
+    # in eval too — explicit opt-in)
     assert resolve_time_fold(True, 2, 16) is True

@@ -145,6 +145,36 @@ def test_checkpoint_weights_only_keeps_fresh_optimizer(setup, tmp_path):
     mgr.close()
 
 
+def test_checkpoint_weights_only_optimizer_mismatch_fallback(
+        setup, tmp_path, caplog):
+    """Warm start into a state built with a DIFFERENT optimizer.
+
+    The templated restore fails on the opt_state tree mismatch; the
+    template-free fallback must still recover params/batch_stats — and
+    must log the original failure (VERDICT r3: a corrupt checkpoint and a
+    slot mismatch were indistinguishable under the old bare except).
+    """
+    mgr = CheckpointManager(str(tmp_path / "ckpt_mismatch"))
+    state, _ = setup["train_step"](setup["state"], next(_batches()),
+                                   setup["rng"])
+    mgr.save(1, state)
+
+    cfg = tiny_cfg()
+    cfg.TRAIN.OPTIMIZER = "adam"          # sgd-nesterov in the checkpoint
+    from x3d_tpu.train import create_train_state as _cts
+    adam_state = _cts(cfg, setup["model"], setup["rng"],
+                      next(_batches())["video"], steps_per_epoch=2)
+    with caplog.at_level(logging.WARNING, "x3d_tpu.train.checkpoint"):
+        warm = mgr.restore_weights_only(adam_state)
+    np.testing.assert_allclose(
+        np.asarray(warm.params["fc_2"]["bias"]),
+        np.asarray(state.params["fc_2"]["bias"]))
+    assert int(warm.step) == 0            # fresh optimizer/step kept
+    assert any("Templated checkpoint restore failed" in r.message
+               for r in caplog.records)
+    mgr.close()
+
+
 def test_restore_none_when_empty(setup, tmp_path):
     mgr = CheckpointManager(str(tmp_path / "empty"))
     restored, epoch = mgr.restore(setup["state"])

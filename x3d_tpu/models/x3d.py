@@ -195,6 +195,12 @@ class GroupedBatchNorm(nn.Module):
                     f"batch {b} not divisible by {g} BN groups")
             xg = x.reshape(g, b // g, -1, c).astype(jnp.float32)
             mean = jnp.mean(xg, axis=(1, 2))                      # (g, C)
+            # E[x^2]-E[x]^2 (one pass) rather than E[(x-mean)^2] (two
+            # passes): catastrophic cancellation needs |mean| >> std,
+            # which normalized video activations in f32 never approach —
+            # and the one-pass form is what the fused kernels' column
+            # sums reduce to (_stats_from_sums), keeping fused == unfused
+            # bit-comparable.  Don't "fix" this to the two-pass form.
             var = jnp.mean(jnp.square(xg), axis=(1, 2)) - jnp.square(mean)
             if not self.is_initializing():
                 m = self.momentum
@@ -408,20 +414,19 @@ def resolve_time_fold(time_fold, batch: int, temp: int,
 
     False/True pass through; "auto" folds TRAINING-mode calls on TPU when
     the batch underfills the 128 lanes but B·T tiles them exactly (the
-    L/XL train regime); an int N folds batches with B ≤ N (the CLI passes
-    the per-run train batch so large eval view-ensembles never fold —
-    folding a 480-clip eval batch to 7680 rows blows XLA's compile time,
-    docs/PERF.md round 3).  Eval-mode calls never auto-fold: the forward-
-    only pass loses folded even at sub-128-clip view batches (X3D-L
-    48-clip ensemble: 178 folded vs 246 unfolded clips/s, and unfolded
-    eval scales to bigger batches instead — docs/PERF.md round 3), so
-    folded inference is explicit-opt-in via True/threshold.
+    L/XL train regime); an int N folds TRAINING-mode batches with B ≤ N
+    (the CLI passes the per-run train batch).  Eval-mode calls never fold
+    under "auto" or a threshold: the forward-only pass loses folded even
+    at sub-128-clip view batches (X3D-L 48-clip ensemble: 178 folded vs
+    246 unfolded clips/s, and unfolded eval scales to bigger batches
+    instead — docs/PERF.md round 3), so folded inference is explicit
+    opt-in via ``True`` only.
     """
     if time_fold == "auto":
         return (train and jax.default_backend() == "tpu"
                 and batch < 128 and (batch * temp) % 128 == 0)
     if isinstance(time_fold, int) and not isinstance(time_fold, bool):
-        return batch <= time_fold
+        return train and batch <= time_fold
     return bool(time_fold)
 
 
@@ -759,11 +764,12 @@ class X3D(nn.Module):
     # parameters, BN statistics and outputs are identical to the unfolded
     # model.  "auto": fold on TPU when B underfills the 128 lanes but B·T
     # fills them — the X3D-L/XL TRAIN regime, where unfolded layouts
-    # waste 2.4–8× on lane padding (docs/PERF.md round 3).  Large (≥128)
-    # batches — eval view-ensembles — are never auto-folded: lanes are
-    # already full, and folding a 480-clip eval batch to 7680 rows blows
-    # XLA's compile time.  An int N folds batches with B ≤ N (the CLI
-    # passes the per-run train batch so eval batches stay unfolded).
+    # waste 2.4–8× on lane padding (docs/PERF.md round 3).  "auto" and
+    # int thresholds (fold train batches with B ≤ N) apply to TRAINING
+    # calls only: folded eval loses even at sub-128-clip view batches
+    # (L 48-clip ensemble 178 vs 246 clips/s) and folding a 480-clip
+    # eval batch to 7680 rows blows XLA's compile time.  Folded
+    # inference is explicit opt-in via True.
     time_fold: Any = False
 
     @nn.compact

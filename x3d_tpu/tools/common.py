@@ -95,9 +95,10 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
         from x3d_tpu.models.x3d import resolve_time_fold
         fold_train = resolve_time_fold("auto", local, cfg.DATA.TEMP_DURATION,
                                        train=True)
-        # Threshold form: fold train-shaped batches only — eval view-
-        # ensemble batches are ≥128 clips (lanes already full) and folding
-        # them explodes XLA compile time (docs/PERF.md).
+        # Threshold form folds TRAINING calls with batch ≤ TRAIN.BATCH_SIZE
+        # only; eval calls never fold under a threshold (resolve_time_fold)
+        # — folded eval loses even at small L/XL view-ensemble batches
+        # (48-clip: 178 vs 246 clips/s, docs/PERF.md).
         time_fold = cfg.TRAIN.BATCH_SIZE if fold_train else False
     # Folding shrinks the 312^2 variants' lane-padded activations enough
     # that no-remat fits at the production per-device batch (measured

@@ -27,6 +27,13 @@ flags.DEFINE_bool("tfrecord", False, "Data is TFRecord shards.")
 flags.DEFINE_bool("native_loader", False,
                   "Use the C++ clip loader (x3d_tpu/native) instead of "
                   "tf.data (requires --tfrecord; center/3-crop protocols).")
+flags.DEFINE_integer(
+    "native_threads", 1,
+    "C++ loader decode threads for eval.  Default 1 keeps the batch "
+    "stream deterministic (reference eval order is deterministic: "
+    "dataloader.py:130); >1 trades reproducible batch composition for "
+    "feed throughput — aggregate metrics are unaffected (exact-sum "
+    "reduction over all clips, order-independent).", lower_bound=1)
 flags.DEFINE_bool("synthetic", False, "Evaluate on synthetic data.")
 flags.DEFINE_integer("max_batches", None, "Cap evaluation batches.")
 flags.DEFINE_multi_string("opts", [], "Config overrides: KEY VALUE pairs.")
@@ -94,7 +101,8 @@ def main(_):
                 raise app.UsageError("--native_loader requires --tfrecord")
             if not available():
                 raise app.UsageError(f"--native_loader: {build_error()}")
-            reader = NativeClipLoader(cfg, is_training=False, num_threads=1)
+            reader = NativeClipLoader(cfg, is_training=False,
+                                      num_threads=FLAGS.native_threads)
         else:
             reader = InputReader(cfg, is_training=False,
                                  use_tfrecord=FLAGS.tfrecord)

@@ -18,6 +18,7 @@ NamedSharding layout.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -113,10 +114,17 @@ class CheckpointManager:
             restored = mgr._mgr.restore(
                 epoch, args=ocp.args.StandardRestore(template)
             )
-        except Exception:
-            # optimizer structure mismatch (e.g. eval built with a different
-            # optimizer than the checkpoint): restore without a template and
-            # take only the weights
+        except (ValueError, KeyError, TypeError) as e:
+            # Optimizer tree-structure mismatch (e.g. eval built with a
+            # different optimizer than the checkpoint wrote): fall back to
+            # a template-free restore and take only the weights.  The
+            # exception is logged so a genuinely corrupt checkpoint (which
+            # the template-free restore will also reject) is
+            # distinguishable in the logs from a benign slot mismatch.
+            logging.getLogger(__name__).warning(
+                "Templated checkpoint restore failed (%s: %s); retrying "
+                "without a template for a weights-only load.",
+                type(e).__name__, e)
             restored = mgr._mgr.restore(epoch)
         return state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
