@@ -279,6 +279,68 @@ def test_raw_video_decode_real_pixels(tmp_path):
     assert batch["video"][0, 0, :, :, 1].mean() < 50
 
 
+def test_opencv_raw_video_real_mp4(tmp_path):
+    """Drive the raw-video path with a REAL production decoder on a REAL
+    compressed mp4 (OpenCV -> libavcodec; the in-container equivalent of
+    the reference's decord default, ``dataloader.py:29-63``): full decode,
+    grab-skip sampled decode, fps metadata, fault tolerance, and the
+    text-line (``use_tfrecord=False``) pipeline end to end."""
+    cv2 = pytest.importorskip("cv2")
+
+    from x3d_tpu.data import video as video_mod
+
+    if video_mod.available_backend() != "opencv":
+        pytest.skip("opencv is not the active backend here")
+
+    # solid colors survive mp4v quantization; use well-separated values
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+              (255, 0, 255), (0, 255, 255), (128, 128, 128), (0, 0, 0),
+              (255, 255, 255)]
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                        (48, 40))
+    assert w.isOpened()
+    for c in colors:
+        w.write(np.full((40, 48, 3), c[::-1], np.uint8))   # BGR on disk
+    w.release()
+
+    assert video_mod.video_fps(path) == 10.0
+
+    decoded = video_mod.decode_all_frames(path)
+    assert decoded.shape == (9, 40, 48, 3) and decoded.dtype == np.uint8
+    for i, c in enumerate(colors):        # RGB out, lossy-codec tolerance
+        assert np.abs(decoded[i].astype(int) - np.array(c)).mean() < 30, i
+
+    sampler = TemporalSampler(is_training=False, sample_rate=2,
+                              num_frames=4, num_views=1)
+    clip = video_mod.decode_frames_sampled(path, sampler)
+    # eval indices for size 9, T=4: stride max(1, 9//4)=2 -> 0,2,4,6
+    assert clip.shape == (4, 40, 48, 3)
+    for j, i in enumerate([0, 2, 4, 6]):
+        assert np.abs(clip[j].astype(int) - np.array(colors[i])).mean() < 30
+
+    # fault tolerance: unopenable path -> zero clip, no crash
+    bad = video_mod.decode_frames_sampled(str(tmp_path / "missing.mp4"),
+                                          sampler)
+    assert bad.dtype == np.uint8 and not bad.any()
+
+    # text-line pipeline end to end on the real mp4
+    cfg = _cfg()
+    cfg.DATA.TEMP_DURATION = 4
+    cfg.DATA.FRAME_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 24
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
+    label_file = tmp_path / "labels.txt"
+    label_file.write_text(f"{path} 7\n")
+    reader = InputReader(cfg, is_training=False, use_tfrecord=False)
+    batch = next(reader.as_numpy(str(label_file), 1))
+    assert batch["video"].shape == (1, 4, 24, 24, 3)
+    assert batch["label"][0] == 7
+    # frame 0 is pure red
+    assert batch["video"][0, 0, :, :, 0].mean() > 200
+    assert batch["video"][0, 0, :, :, 1].mean() < 50
+
+
 def test_decord_branch_with_standin(tmp_path):
     """Execute the decord code path (reference ``dataloader.py:29-63``'s
     actual backend) through an API-faithful in-memory stand-in: the real

@@ -7,6 +7,15 @@ strongest architecture-parity oracle available without the stripped
 checkpoint .data blobs: every conv/BN/SE/shortcut wiring, padding choice,
 and the SE global-index quirk must line up or the logits diverge.
 
+Covered branches:
+  * XS factors — the common stem path (``/root/reference/model.py:36-38``:
+    C1_CHANNELS widened by 2, multiplier 2).
+  * XL factors — the SCALE_RES2 stem path (``model.py:32-35``: WIDTH_FACTOR
+    2.9 applied to C1_CHANNELS directly, multiplier 1) with DEPTH_FACTOR
+    5.0 (55 blocks), at tiny spatial dims; checked in all three execution
+    modes (plain XLA, aligned bottleneck segment, time-folded layout) so
+    the L/XL bench rows rest on a reference-verified wiring.
+
 Runs on CPU; skipped when the reference tree or TF isn't present.
 """
 
@@ -55,6 +64,30 @@ def ref_model_module():
     return ref_model
 
 
+def _to_ns(node):
+    # Keras 3 wraps dict attributes in TrackedDict (no attribute
+    # access); hand the reference a plain namespace instead
+    if isinstance(node, dict):
+        return types.SimpleNamespace(
+            **{k: _to_ns(v) for k, v in node.items()})
+    return node
+
+
+def _build_ref(ref_model_module, cfg):
+    """Construct the reference model as a FRESH PROCESS would.
+
+    ``ResBlock._block_index`` / ``ResStage._stage_index`` are class
+    attributes that are never reset (``/root/reference/model.py:326,401``
+    — quirk Q1): a second construction in the same process shifts SE
+    placement and stage names.  Our model freezes the first-instance
+    pattern, so reset the counters before every build.
+    """
+    ref_model_module.ResBlock._block_index = 0
+    ref_model_module.ResStage._stage_index = 2
+    tf.keras.utils.set_random_seed(0)
+    return ref_model_module.X3D(_to_ns(cfg))
+
+
 def _copy_bn(dst_params, dst_stats, bn_layer):
     dst_params["scale"] = bn_layer.gamma.numpy()
     dst_params["bias"] = bn_layer.beta.numpy()
@@ -62,34 +95,12 @@ def _copy_bn(dst_params, dst_stats, bn_layer):
     dst_stats["var"] = bn_layer.moving_variance.numpy()
 
 
-def test_logit_parity_with_reference(ref_model_module):
-    from x3d_tpu import variant_config
-    from x3d_tpu.models import build_arch, create_model, init_variables
+def _copy_ref_weights(ref, cfg, variables):
+    """Reference Keras weights -> our variable tree (params, batch_stats)."""
     import jax
-    import jax.numpy as jnp
 
-    cfg = variant_config("XS")
-    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
-    cfg.TEST.NUM_SPATIAL_CROPS = 1
-    cfg.NETWORK.DROPOUT_RATE = 0.0
+    from x3d_tpu.models import build_arch
 
-    def to_ns(node):
-        # Keras 3 wraps dict attributes in TrackedDict (no attribute
-        # access); hand the reference a plain namespace instead
-        if isinstance(node, dict):
-            return types.SimpleNamespace(
-                **{k: to_ns(v) for k, v in node.items()})
-        return node
-
-    tf.keras.utils.set_random_seed(0)
-    ref = ref_model_module.X3D(to_ns(cfg))
-    x_np = np.random.RandomState(0).standard_normal(
-        (2, 4, 64, 64, 3)).astype(np.float32)
-    ref_probs = ref(tf.constant(x_np), training=False).numpy()
-
-    model = create_model(cfg, dtype=jnp.float32)
-    variables = init_variables(model, jax.random.PRNGKey(0),
-                               jnp.asarray(x_np))
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
 
@@ -137,6 +148,35 @@ def test_logit_parity_with_reference(ref_model_module):
         params["fc_1"]["kernel"].shape)
     params["fc_2"]["kernel"] = ref.fc2.kernel.numpy()
     params["fc_2"]["bias"] = ref.fc2.bias.numpy()
+    return params, stats
+
+
+def _parity_cfg(variant):
+    from x3d_tpu import variant_config
+
+    cfg = variant_config(variant)
+    cfg.TEST.NUM_TEMPORAL_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.NETWORK.DROPOUT_RATE = 0.0
+    return cfg
+
+
+def test_logit_parity_with_reference(ref_model_module):
+    """XS factors (common stem path), plain mode."""
+    from x3d_tpu.models import create_model, init_variables
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _parity_cfg("XS")
+    ref = _build_ref(ref_model_module, cfg)
+    x_np = np.random.RandomState(0).standard_normal(
+        (2, 4, 64, 64, 3)).astype(np.float32)
+    ref_probs = ref(tf.constant(x_np), training=False).numpy()
+
+    model = create_model(cfg, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x_np))
+    params, stats = _copy_ref_weights(ref, cfg, variables)
 
     ours = jax.jit(
         lambda v, x: model.apply(v, x, train=False)
@@ -144,3 +184,56 @@ def test_logit_parity_with_reference(ref_model_module):
 
     np.testing.assert_allclose(np.asarray(ours), ref_probs, atol=2e-4,
                                rtol=1e-3)
+
+
+def test_logit_parity_xl_scale_res2_all_modes(ref_model_module):
+    """XL factors: the SCALE_RES2 stem branch (``model.py:32-35``) at
+    WIDTH_FACTOR 2.9 / DEPTH_FACTOR 5.0 (55 blocks), tiny spatial dims.
+
+    The only architecture branch the XS test misses; verified here at
+    logit level in all three execution modes — plain, aligned bottleneck
+    segment, and the time-folded layout — since those are what the L/XL
+    bench rows run.
+    """
+    from x3d_tpu.models import create_model, init_variables
+    from x3d_tpu.ops import dw_fused
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _parity_cfg("XL")
+    assert cfg.NETWORK.SCALE_RES2 and cfg.NETWORK.WIDTH_FACTOR == 2.9
+    ref = _build_ref(ref_model_module, cfg)
+    x_np = np.random.RandomState(1).standard_normal(
+        (2, 4, 64, 64, 3)).astype(np.float32)
+    ref_probs = ref(tf.constant(x_np), training=False).numpy()
+
+    model = create_model(cfg, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x_np))
+    params, stats = _copy_ref_weights(ref, cfg, variables)
+    v = {"params": params, "batch_stats": stats}
+    x = jnp.asarray(x_np)
+
+    old = dw_fused.get_enabled()
+    try:
+        dw_fused.set_enabled(False)
+        plain = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(v, x)
+        np.testing.assert_allclose(np.asarray(plain), ref_probs,
+                                   atol=2e-4, rtol=1e-3)
+
+        dw_fused.set_enabled("aligned")
+        aligned_model = create_model(cfg, dtype=jnp.float32)
+        aligned = jax.jit(
+            lambda v, x: aligned_model.apply(v, x, train=False))(v, x)
+        np.testing.assert_allclose(np.asarray(aligned), ref_probs,
+                                   atol=2e-4, rtol=1e-3)
+
+        dw_fused.set_enabled(False)
+        folded_model = create_model(cfg, dtype=jnp.float32, time_fold=True)
+        folded = jax.jit(
+            lambda v, x: folded_model.apply(v, x, train=False))(v, x)
+        np.testing.assert_allclose(np.asarray(folded), ref_probs,
+                                   atol=2e-4, rtol=1e-3)
+    finally:
+        dw_fused.set_enabled(old)

@@ -85,6 +85,11 @@ def set_enabled(mode) -> None:
     _ENABLED = mode
 
 
+def get_enabled():
+    """Current bottleneck-segment mode (for save/restore around tests)."""
+    return _ENABLED
+
+
 def segment_mode(batch: int, stride: int, bn_groups: int,
                  temp_kernel: int) -> str:
     """Resolve the segment implementation for one bottleneck instance.
