@@ -27,6 +27,59 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_four_process_tensor_parallel_head(tmp_path):
+    """2x2 mesh over 4 one-device processes: the model axis (head TP)
+    crosses process boundaries and the native loader feeds per data
+    group — ``make_array_from_process_local_data`` under TP, not just
+    pure DP (see multihost_tp_worker.py)."""
+    from x3d_tpu.data.native_loader import available
+
+    if not available():
+        pytest.skip("native clip loader not built")
+
+    rng = np.random.RandomState(0)
+    vids = [(rng.randint(0, 255, (12, 48, 64, 3), dtype=np.uint8), i % 3)
+            for i in range(8)]
+    write_video_array_shards(vids, str(tmp_path), prefix="train",
+                             videos_per_record=2)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    port = str(_free_port())
+    worker = os.path.join(repo, "tests", "multihost_tp_worker.py")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), port, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    lines = {}
+    for pid, out in enumerate(outs):
+        lines[pid] = [l for l in out.splitlines()
+                      if l.startswith(f"WORKER {pid} OK")][0]
+    # every process observes the same globally-reduced loss
+    losses = [float(l.split("loss=")[1].split()[0]) for l in lines.values()]
+    assert all(x == pytest.approx(losses[0], rel=1e-6) for x in losses)
+    # the two processes of one data group hold COMPLEMENTARY head shards
+    # (tensor parallelism across processes), and both data groups agree
+    for a, b in ((0, 1), (2, 3)):
+        cols_a = lines[a].split("fc1_cols=")[1].split()[0]
+        cols_b = lines[b].split("fc1_cols=")[1].split()[0]
+        assert cols_a.startswith("0:") and not cols_b.startswith("0:")
+        assert cols_a != cols_b
+
+
+@pytest.mark.slow
 def test_two_process_sharded_train_step(tmp_path):
     rng = np.random.RandomState(0)
     vids = [(rng.randint(0, 255, (12, 48, 64, 3), dtype=np.uint8), i % 3)
