@@ -136,22 +136,27 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     # barrier makes the dependency un-foldable (a `* 0` chain could be
     # algebraically simplified away).  Chaining through the video would
     # double its multi-GB buffer.
-    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
-    def eval_chained(st, x, lab):
-        out = eval_step(st, {"video": x, "label": lab})
-        lab, _ = jax.lax.optimization_barrier((lab, out["loss_sum"]))
-        return lab, out
+    def make_chained(step_fn):
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        def chained(st, x, lab):
+            out = step_fn(st, {"video": x, "label": lab})
+            lab, _ = jax.lax.optimization_barrier((lab, out["loss_sum"]))
+            return lab, out
+        return chained
 
-    elabel, out = eval_chained(state, evideo, elabel)
-    _fetch_scalar(out["loss_sum"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        elabel, out = eval_chained(state, evideo, elabel)
-    _fetch_scalar(out["loss_sum"])
-    infer_dt = (time.perf_counter() - t0) / steps
+    def time_eval(chained, x, lab, n_steps):
+        lab, out = chained(state, x, lab)
+        _fetch_scalar(out["loss_sum"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lab, out = chained(state, x, lab)
+        _fetch_scalar(out["loss_sum"])
+        return (time.perf_counter() - t0) / n_steps
+
+    infer_dt = time_eval(make_chained(eval_step), evideo, elabel, steps)
     infer_cps = infer_videos * views / infer_dt
 
-    return {
+    result = {
         "train_clips_per_sec_per_chip": round(train_cps, 2),
         "infer_clips_per_sec_per_chip": round(infer_cps, 2),
         "train_step_ms": round(train_dt * 1e3, 2),
@@ -160,6 +165,45 @@ def bench_variant(name: str, on_accel: bool) -> dict:
         "input": f"{T}x{S}^2",
         "views": views,
     }
+
+    # 3-crop TTA datapoint: the L YAML's commented alternative protocol
+    # (X3D_L.yaml TEST comments: TEST_CROP_SIZE 356, NUM_SPATIAL_CROPS 3
+    # -> 3x3 = 9 views/video); crop geometry parity is pinned bit-exact by
+    # tests/test_ref_pipeline_parity.py at this size.  16 videos = 144
+    # clips at 356^2 ~= the measured-safe 192-clip 312^2 footprint.
+    if name == "L" and on_accel:
+        del evideo
+        tta_cfg = variant_config(name)
+        tta_cfg.DATA.TEST_CROP_SIZE = 356
+        tta_cfg.TEST.NUM_SPATIAL_CROPS = 3
+        tta_views = (tta_cfg.TEST.NUM_TEMPORAL_VIEWS
+                     * tta_cfg.TEST.NUM_SPATIAL_CROPS)
+        tta_model = create_model(tta_cfg, dtype=dtype, remat=remat)
+        tta_videos = 16
+        tvideo = jax.random.normal(
+            key, (tta_videos * tta_views, T, 356, 356, 3), dtype=dtype)
+        tlabel = jnp.zeros((tta_videos,), jnp.int32)
+        tta_dt = time_eval(make_chained(make_eval_step(tta_model)),
+                           tvideo, tlabel, steps)
+        result["tta_infer_clips_per_sec_per_chip"] = round(
+            tta_videos * tta_views / tta_dt, 2)
+        result["tta_protocol"] = f"3x3 views, {T}x356^2"
+        del tvideo
+
+    # Serving latency: ONE video's view ensemble through InferenceEngine
+    # at its auto-selected layout (clips<=16 folds — the measured winner,
+    # tools/bench_serving + docs/PERF.md round 4).  Loop-slope device
+    # time: the number a latency SLO is written against.
+    if on_accel:
+        from x3d_tpu.serving import InferenceEngine
+        from x3d_tpu.tools.bench_serving import _BASE_ITERS
+
+        engine = InferenceEngine.random_init(variant_config(name),
+                                             max_videos=1)
+        lat_s = engine.device_latency_s(iters=_BASE_ITERS.get(name, 16))
+        result["serve_latency_ms_1video"] = round(lat_s * 1e3, 2)
+
+    return result
 
 
 def main() -> None:
@@ -198,6 +242,8 @@ def main() -> None:
             "defensible claim is the absolute per-chip table below"),
         "infer_clips_per_sec_per_chip": round(
             m["infer_clips_per_sec_per_chip"] / n_chips, 2),
+        # device p50 for one video's full view ensemble (serving SLO shape)
+        "latency_ms": m.get("serve_latency_ms_1video"),
         "train_step_ms": m["train_step_ms"],
         "infer_step_ms": m["infer_step_ms"],
         "train_batch": m["train_batch"],

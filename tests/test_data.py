@@ -341,6 +341,40 @@ def test_opencv_raw_video_real_mp4(tmp_path):
     assert batch["video"][0, 0, :, :, 1].mean() < 50
 
 
+def test_writer_trims_with_container_fps(tmp_path):
+    """The offline writer trims each video to its first 10 s using the
+    CONTAINER's frame rate (reference ``create_tfrecords.py:126-134`` reads
+    it from ffmpeg), not the CLI's assumed default: a 12 s / 10 fps mp4
+    keeps exactly 100 frames even when fps_default says 25."""
+    cv2 = pytest.importorskip("cv2")
+    import tensorflow as tf
+
+    from x3d_tpu.data import tfrecords
+
+    path = str(tmp_path / "long.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                        (32, 24))
+    assert w.isOpened()
+    for i in range(120):                       # 12 s at 10 fps
+        w.write(np.full((24, 32, 3), i % 256, np.uint8))
+    w.release()
+
+    tfrecords.create_tfrecords([(path, 5)], str(tmp_path), prefix="trim",
+                               num_workers=1, fps_default=25)
+    shard = str(tmp_path / "trim-00000.tfrecord")
+    serialized = next(iter(tf.data.TFRecordDataset(
+        shard, compression_type="GZIP")))
+    context, sequence = tf.io.parse_single_sequence_example(
+        serialized,
+        context_features={
+            "video/num_frames": tf.io.FixedLenFeature([], tf.int64)},
+        sequence_features={
+            "video": tf.io.FixedLenSequenceFeature([], tf.string)},
+    )
+    assert int(context["video/num_frames"]) == 100  # 10 s * real 10 fps
+    assert int(sequence["video"].shape[0]) == 100
+
+
 def test_decord_branch_with_standin(tmp_path):
     """Execute the decord code path (reference ``dataloader.py:29-63``'s
     actual backend) through an API-faithful in-memory stand-in: the real

@@ -48,6 +48,33 @@ def test_top_k(engine):
     assert (p[:, 0] >= p[:, 1]).all() and (p[:, 1] >= p[:, 2]).all()
 
 
+def test_latency_probes(engine):
+    dev = engine.device_latency_s(iters=2, outer=1)
+    wall = engine.wall_latency_s(samples=2)
+    assert dev > 0 and wall > 0
+
+
+def test_time_fold_engine_matches_unfolded(engine):
+    """A folded serving engine is a layout change, not a model change."""
+    import jax.numpy as jnp
+
+    from x3d_tpu.models import create_model, init_variables
+    import jax
+
+    cfg = _cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, cfg.DATA.TEMP_DURATION, cfg.DATA.TEST_CROP_SIZE,
+                   cfg.DATA.TEST_CROP_SIZE, 3))
+    variables = init_variables(model, jax.random.PRNGKey(0), x)
+    plain = InferenceEngine(cfg, variables, max_videos=2,
+                            dtype=jnp.float32)
+    folded = InferenceEngine(cfg, variables, max_videos=2,
+                             dtype=jnp.float32, time_fold=True)
+    clips = np.random.randint(0, 255, plain.clip_shape, np.uint8)
+    np.testing.assert_allclose(folded.predict(clips), plain.predict(clips),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_rejects_bad_shapes(engine):
     with pytest.raises(ValueError):
         engine.predict(np.zeros((3,) + engine.clip_shape[1:], np.uint8))

@@ -105,7 +105,12 @@ def _process_chunk(args) -> Tuple[str, int]:
             if frames.shape[0] == 0:
                 log.warning("Skipping empty video %s", path)
                 continue
-            frames = frames[: TRIM_SECONDS * fps_default]
+            # trim to the first TRIM_SECONDS using the container's real
+            # frame rate when a metadata-capable backend exists — the
+            # reference reads it from ffmpeg (create_tfrecords.py:126-134);
+            # fps_default is only the fallback for rate-less containers
+            fps = video_lib.video_fps(path) or fps_default
+            frames = frames[: int(TRIM_SECONDS * fps)]
             yield frames_to_sequence_example(frames, label)
 
     n = write_shard(out_path, gen())

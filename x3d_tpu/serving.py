@@ -19,6 +19,7 @@ Typical use::
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -30,27 +31,41 @@ from x3d_tpu.utils import normalize, tpu_compiler_options
 
 
 class InferenceEngine:
-    def __init__(self, cfg, variables, max_videos: int = 8, dtype=None):
+    def __init__(self, cfg, variables, max_videos: int = 8, dtype=None,
+                 time_fold=None):
         """
         Args:
           cfg: experiment config (TEST.* defines the view ensemble).
           variables: {'params', 'batch_stats'} tree.
           max_videos: compiled batch capacity in videos (videos*views clips).
+          time_fold: None = auto — use the time-folded activation layout
+            iff the compiled request is at most 16 clips.  Measured on
+            v5e (tools/bench_serving, docs/PERF.md round 4): folding wins
+            every single-video request (X3D-M 25.6 -> 17.2 ms, L 18.3 ->
+            10.2 ms, 4-video L 55.5 -> 22.7 ms) because a handful of
+            clips underfills the 128 batch lanes that folding repacks
+            with B*T rows; at >= 40-clip requests the unfolded layout is
+            ahead (XS 3.6x) and throughput eval stays unfolded
+            (docs/PERF.md round 3).  Pass True/False to pin a layout.
         """
         self._cfg = cfg
         dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu"
                           else jnp.float32)
         self._dtype = dtype
-        self._model = create_model(cfg, dtype=dtype)
         self._views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        if time_fold is None:
+            time_fold = max_videos * self._views <= 16
+        self._model = create_model(cfg, dtype=dtype, time_fold=time_fold)
         self._max_videos = max_videos
         self._variables = variables
         mean, std = tuple(cfg.DATA.MEAN), tuple(cfg.DATA.STD)
+        self._mean, self._std = mean, std
 
         def forward(variables, clips_u8):
             x = normalize(clips_u8.astype(jnp.float32), mean, std)
             return self._model.apply(variables, x.astype(dtype), train=False)
 
+        self._forward = forward
         shape = (max_videos * self._views, cfg.DATA.TEMP_DURATION,
                  cfg.DATA.TEST_CROP_SIZE, cfg.DATA.TEST_CROP_SIZE,
                  cfg.DATA.NUM_INPUT_CHANNELS)
@@ -65,7 +80,7 @@ class InferenceEngine:
     # ------------------------------------------------------------ builders
     @classmethod
     def from_checkpoint(cls, cfg, model_dir: str, max_videos: int = 8,
-                        dtype=None) -> "InferenceEngine":
+                        dtype=None, time_fold=None) -> "InferenceEngine":
         """Load the latest checkpoint written by the train CLI."""
         import os
 
@@ -81,17 +96,18 @@ class InferenceEngine:
         mgr.close()
         return cls(cfg, {"params": state.params,
                          "batch_stats": state.batch_stats},
-                   max_videos=max_videos, dtype=dtype)
+                   max_videos=max_videos, dtype=dtype, time_fold=time_fold)
 
     @classmethod
     def random_init(cls, cfg, max_videos: int = 8,
-                    dtype=None) -> "InferenceEngine":
+                    dtype=None, time_fold=None) -> "InferenceEngine":
         """Engine with fresh weights (smoke tests / benchmarking)."""
         model = create_model(cfg, dtype=dtype or jnp.bfloat16)
         x = jnp.zeros((1, cfg.DATA.TEMP_DURATION, cfg.DATA.TEST_CROP_SIZE,
                        cfg.DATA.TEST_CROP_SIZE, 3))
         variables = init_variables(model, jax.random.PRNGKey(0), x)
-        return cls(cfg, variables, max_videos=max_videos, dtype=dtype)
+        return cls(cfg, variables, max_videos=max_videos, dtype=dtype,
+                   time_fold=time_fold)
 
     # ------------------------------------------------------------ inference
     @property
@@ -127,3 +143,45 @@ class InferenceEngine:
         probs = self.predict(clips_u8)
         idx = np.argsort(-probs, axis=-1)[:, :k]
         return idx, np.take_along_axis(probs, idx, axis=-1)
+
+    # ------------------------------------------------------------ benchmarks
+    def device_latency_s(self, iters: int = 8, outer: int = 3) -> float:
+        """Device execution time of ONE request at the compiled capacity.
+
+        Uses the in-program loop-slope method (``ops/timing.py``): K
+        requests chained through a data-dependent scalar token inside a
+        single XLA program, measured at two K — so the host's per-dispatch
+        overhead (a noisy 2-40 ms tunnel artifact on this container, NOT
+        representative of production) and the device->host fetch cancel
+        exactly.  This is the number a latency SLO is written against: the
+        TPU forward time for ``max_videos`` videos x ``views`` clips.
+        """
+        from x3d_tpu.ops.timing import time_fn
+        from x3d_tpu.utils import normalize as _normalize
+
+        mean, std = self._mean, self._std
+        model, dtype = self._model, self._dtype
+
+        def request(tok, clips_u8, variables):
+            # the token perturbs the input (sub-quantization magnitude), so
+            # iteration i+1 cannot start before i's probabilities exist
+            x = _normalize(clips_u8.astype(jnp.float32) + tok, mean, std)
+            return model.apply(variables, x.astype(dtype), train=False)
+
+        clips = jnp.zeros(self.clip_shape, jnp.uint8)
+        return time_fn(request, jnp.zeros((), jnp.float32), clips,
+                       self._variables, iters=iters, outer=outer)
+
+    def wall_latency_s(self, samples: int = 20) -> float:
+        """Median wall-clock per request through the AOT executable,
+        dispatch and device->host result fetch included.  On this
+        container the remote-tunnel dispatch dominates small requests —
+        report alongside :meth:`device_latency_s`, not instead of it."""
+        clips = jnp.zeros(self.clip_shape, jnp.uint8)
+        times = []
+        np.asarray(self._compiled(self._variables, clips))  # warm path
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            np.asarray(self._compiled(self._variables, clips))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
