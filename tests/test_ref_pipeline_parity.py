@@ -72,6 +72,8 @@ def ref_modules():
 
 
 def _jpeg_frames(num_frames=11, h=36, w=48, seed=0):
+    # default 36x48 keeps the common cases fast; the 356-crop TTA case
+    # passes a larger fixture so the resize factor stays realistic
     """Real JPEG round-tripped fixture frames (structured, not flat noise)."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -93,32 +95,37 @@ def _write_fixture_shard(tmp_path, frames, label=3):
                                     prefix="val")[0]
 
 
-def _eval_cfg(num_crops):
+def _eval_cfg(num_crops, crop_size=24):
     from x3d_tpu import get_default_config
 
     cfg = get_default_config()
     cfg.DATA.FRAME_RATE = 2
     cfg.DATA.TEMP_DURATION = 4
-    cfg.DATA.TEST_CROP_SIZE = 24
+    cfg.DATA.TEST_CROP_SIZE = crop_size
     cfg.DATA.TRAIN_JITTER_SCALES = [28, 34]
     cfg.TEST.NUM_TEMPORAL_VIEWS = 3
     cfg.TEST.NUM_SPATIAL_CROPS = num_crops
     return cfg
 
 
-@pytest.mark.parametrize("num_crops", [1, 3])
+@pytest.mark.parametrize("num_crops,crop_size", [(1, 24), (3, 24), (3, 356)])
 def test_eval_pipeline_golden_pixels_vs_reference(ref_modules, tmp_path,
-                                                  num_crops):
+                                                  num_crops, crop_size):
     """Our default (exact) eval path == the reference transforms, bit-for-bit.
 
     The fixture decode happens once from the same JPEG bytes both sides, so
     any divergence is in sampling/resize/crop/normalize — exactly the
-    geometry the published accuracy protocol depends on.
+    geometry the published accuracy protocol depends on.  The (3, 356)
+    case is the L/XL YAMLs' commented TTA protocol
+    (``/root/reference/configs/kinetics/X3D_L.yaml`` TEST_CROP_SIZE: 356 /
+    NUM_SPATIAL_CROPS: 3): left/center/right offsets and crop-major view
+    ordering must bit-match ``transforms.py:149-221`` at that geometry.
     """
     ref_transforms, _ = ref_modules
-    frames = _jpeg_frames()
+    frames = (_jpeg_frames(h=120, w=160) if crop_size > 24
+              else _jpeg_frames())
     shard = _write_fixture_shard(tmp_path, frames)
-    cfg = _eval_cfg(num_crops)
+    cfg = _eval_cfg(num_crops, crop_size)
 
     # ---- reference path, eagerly, from the same stored JPEG bytes
     ds = tf.data.TFRecordDataset(shard, compression_type="GZIP")
