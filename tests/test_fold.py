@@ -84,6 +84,50 @@ def test_folded_matches_unfolded_eval():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("fold_stages", [0, 2, 3])
+def test_mixed_fold_boundary_matches_unfolded(fold_stages):
+    """A mid-network fold boundary (fold the lane-starved early stages,
+    unfold the tail — the serving "mixed" layout) is still exact: train
+    step loss/params/batch-stats and eval probs match the unfolded model
+    across the boundary reshape."""
+    from x3d_tpu.train import create_train_state, make_train_step
+
+    cfg = tiny_cfg()
+    key = jax.random.PRNGKey(3)
+    video = jax.random.normal(key, (4,) + CLIP)
+    label = jnp.arange(4) % cfg.NETWORK.NUM_CLASSES
+    batch = {"video": video, "label": label}
+    base = create_model(cfg, dtype=jnp.float32, remat=False,
+                        time_fold=False)
+    mixed = create_model(cfg, dtype=jnp.float32, remat=False,
+                         time_fold=True, fold_stages=fold_stages)
+
+    def run(model):
+        state = create_train_state(cfg, model, key, video, steps_per_epoch=2)
+        step = make_train_step(model, cfg.NETWORK.WEIGHT_DECAY)
+        return jax.jit(step)(state, batch, key)
+
+    s_ref, m_ref = run(base)
+    s_got, m_got = run(mixed)
+    np.testing.assert_allclose(float(m_got["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_got.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_got.batch_stats),
+                    jax.tree_util.tree_leaves(s_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    views = cfg.TEST.NUM_TEMPORAL_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    xe = jax.random.normal(jax.random.PRNGKey(4), (2 * views,) + CLIP)
+    v = init_variables(base, jax.random.PRNGKey(5), xe)
+    pb = jax.jit(lambda v, x: base.apply(v, x, train=False))(v, xe)
+    pm = jax.jit(lambda v, x: mixed.apply(v, x, train=False))(v, xe)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pb),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_folded_aligned_segment_matches_plain():
     """time_fold composed with the aligned bottleneck segment (the TPU
     default at full-lane folded batches) stays exact: force the aligned

@@ -75,6 +75,34 @@ def test_time_fold_engine_matches_unfolded(engine):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_mixed_and_measured_layouts_match_unfolded(engine):
+    """"mixed" (half-folded trunk) and "measure" (layout autotune) produce
+    the same probabilities as the unfolded engine — layout choices only."""
+    import jax
+    import jax.numpy as jnp
+
+    from x3d_tpu.models import create_model, init_variables
+
+    cfg = _cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, cfg.DATA.TEMP_DURATION, cfg.DATA.TEST_CROP_SIZE,
+                   cfg.DATA.TEST_CROP_SIZE, 3))
+    variables = init_variables(model, jax.random.PRNGKey(0), x)
+    plain = InferenceEngine(cfg, variables, max_videos=2, dtype=jnp.float32)
+    mixed = InferenceEngine(cfg, variables, max_videos=2, dtype=jnp.float32,
+                            time_fold="mixed")
+    assert mixed.layout == "mixed"
+    measured = InferenceEngine(cfg, variables, max_videos=2,
+                               dtype=jnp.float32, time_fold="measure")
+    assert measured.layout in (False, True, "mixed")
+    clips = np.random.randint(0, 255, plain.clip_shape, np.uint8)
+    want = plain.predict(clips)
+    np.testing.assert_allclose(mixed.predict(clips), want,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(measured.predict(clips), want,
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_rejects_bad_shapes(engine):
     with pytest.raises(ValueError):
         engine.predict(np.zeros((3,) + engine.clip_shape[1:], np.uint8))

@@ -771,6 +771,15 @@ class X3D(nn.Module):
     # eval batch to 7680 rows blows XLA's compile time.  Folded
     # inference is explicit opt-in via True.
     time_fold: Any = False
+    # When folding, how many leading res stages run folded (the stem always
+    # folds with the input).  4 = the whole trunk (the conv_5 head unfolds,
+    # as before).  A mid-network boundary (e.g. 2) unfolds after the
+    # lane-starved high-resolution stages — the fold win concentrates in
+    # the 56²/28² stages, while the low-resolution tail pays the fold's
+    # static-roll overhead for little lane gain (docs/PERF.md round 4,
+    # serving).  The boundary reshape (B·T,1,h,w,C) → (B,T,h,w,C) is a
+    # single relayout.
+    fold_stages: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -801,11 +810,20 @@ class X3D(nn.Module):
             block_cls = nn.remat(ResBlock, static_argnums=(2,))
         else:
             block_cls = ResBlock
+        if not 0 <= self.fold_stages <= 4:
+            raise ValueError(f"fold_stages {self.fold_stages!r} not in 0..4")
         x = Stem(arch.conv1_dim, arch.temp_filter, arch.bn_momentum,
                  arch.bn_eps, self.dtype, bn_groups=self.bn_groups,
                  fold_T=fold_T, name="conv_1")(x, train)
+        folded = bool(fold_T)
         for si, blocks in enumerate(arch.stages):
-            def run_stage(mdl, xx, _si=si, _blocks=blocks):
+            if folded and si >= self.fold_stages:
+                # mid-network fold boundary: (B·T,1,h,w,C) → (B,T,h,w,C)
+                x = x.reshape((B0, T0) + x.shape[2:])
+                folded = False
+            stage_fold = fold_T if folded else 0
+            def run_stage(mdl, xx, _si=si, _blocks=blocks,
+                          _fold=stage_fold):
                 for bi, spec in enumerate(_blocks):
                     # stage numbering starts at 2, as in the paper and the
                     # reference's layer names (model.py:401,430)
@@ -813,7 +831,7 @@ class X3D(nn.Module):
                                    arch.bn_eps, mdl.dtype,
                                    bn_groups=mdl.bn_groups,
                                    save_names=(mode == "convs"),
-                                   fold_T=fold_T,
+                                   fold_T=_fold,
                                    name=f"stage{_si + 2}_block{bi}")(xx, train)
                 return xx
             if mode == "stage":
@@ -824,7 +842,7 @@ class X3D(nn.Module):
         x = _BN(arch.bn_momentum, arch.bn_eps, self.dtype,
                 groups=self.bn_groups, name="bn_5")(x, train)
         x = nn.relu(x)
-        if fold_T:
+        if folded:
             # unfold for the head: (B·T, 1, h, w, C) → (B, T, h, w, C)
             x = x.reshape((B0, T0) + x.shape[2:])
         # AdaptiveAvgPool3D((1,1,1)) == global mean over (T, H, W)
@@ -858,7 +876,7 @@ class X3D(nn.Module):
 
 
 def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1,
-                 time_fold=None) -> X3D:
+                 time_fold=None, fold_stages: int = 4) -> X3D:
     """Build an :class:`X3D` from a config (see ``x3d_tpu.config``).
 
     ``remat`` default ("auto"): per-block rematerialisation only for the
@@ -880,7 +898,8 @@ def create_model(cfg, dtype=None, remat=None, bn_groups: int = 1,
     if time_fold is None:
         time_fold = cfg.TPU.TIME_FOLD if "TPU" in cfg else False
     return X3D(arch=build_arch(cfg), dtype=dtype, remat=remat,
-               bn_groups=bn_groups, time_fold=time_fold)
+               bn_groups=bn_groups, time_fold=time_fold,
+               fold_stages=fold_stages)
 
 
 def init_variables(model: X3D, rng, sample, train: bool = False):

@@ -33,7 +33,7 @@ import json
 _BASE_ITERS = {"XS": 128, "S": 64, "M": 32, "L": 16, "XL": 12}
 
 
-def bench_one(variant: str, n_videos: int, fold: bool, iters: int,
+def bench_one(variant: str, n_videos: int, fold, iters: int,
               wall_samples: int) -> dict:
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def bench_one(variant: str, n_videos: int, fold: bool, iters: int,
     # pin the layout explicitly (None would engage the engine's measured
     # auto rule — this tool is what produces that rule's data)
     engine = InferenceEngine.random_init(cfg, max_videos=n_videos,
-                                         time_fold=bool(fold))
+                                         time_fold=fold)
     if iters <= 0:
         iters = max(4, _BASE_ITERS.get(variant, 16) // n_videos)
     device_s = engine.device_latency_s(iters=iters)
@@ -55,7 +55,7 @@ def bench_one(variant: str, n_videos: int, fold: bool, iters: int,
         "videos": n_videos,
         "views": views,
         "clips": n_videos * views,
-        "fold": bool(fold),
+        "fold": fold if isinstance(fold, str) else bool(fold),
         "input": (f"{n_videos * views}x{cfg.DATA.TEMP_DURATION}"
                   f"x{cfg.DATA.TEST_CROP_SIZE}^2"),
         "device_ms": round(device_s * 1e3, 2),
@@ -71,15 +71,17 @@ def main(argv=None):
                         "Comma-separated variant names.")
     flags.DEFINE_string("videos", "1,4", "Request sizes in videos.")
     flags.DEFINE_string("fold", "both",
-                        "Layout: both/on/off (time-folded vs unfolded).")
+                        "Layout: both/on/off/mixed/all (time-folded vs "
+                        "unfolded vs half-folded trunk).")
     flags.DEFINE_integer("iters", 0,
                          "Loop-slope chain length (0 = per-variant auto).")
     flags.DEFINE_integer("wall_samples", 20, "Wall-clock sample count.")
     FLAGS = flags.FLAGS
 
     def run(_):
-        folds = {"both": (False, True), "on": (True,),
-                 "off": (False,)}[FLAGS.fold.lower()]
+        folds = {"both": (False, True), "on": (True,), "off": (False,),
+                 "mixed": ("mixed",),
+                 "all": (False, True, "mixed")}[FLAGS.fold.lower()]
         for v in [s.strip().upper() for s in FLAGS.variants.split(",")]:
             for n in [int(s) for s in FLAGS.videos.split(",")]:
                 for fold in folds:
