@@ -259,3 +259,33 @@ def test_profile_hook_capture(setup, tmp_path):
         steps_per_epoch=4, epochs=1, rng=setup["rng"], hooks=[hook])
     traces = glob.glob(str(tmp_path / "prof" / "plugins" / "profile" / "*" / "*"))
     assert traces, "no trace files written"
+
+
+def test_logging_hook_rate_window_resets_across_epochs(monkeypatch, caplog):
+    """The steps/s window must restart (time AND step origin) at each epoch
+    boundary: epoch-end work (validation, checkpoints) is not step time, and
+    a window whose step origin lags the epoch restart divides a full-epoch
+    step delta by post-boundary time only (observed: 49.6 "steps/s" printed
+    on a ~10 steps/s run in the round-4 rehearsal, docs/RUNBOOK.md)."""
+    from x3d_tpu.train import hooks as hooks_mod
+
+    clock = {"t": 100.0}
+    monkeypatch.setattr(hooks_mod.time, "time", lambda: clock["t"])
+    hook = LoggingHook(log_every=10)
+
+    def run_epoch(epoch, first_step, rate, n=10):
+        hook.on_epoch_start(epoch, 0.1)
+        for s in range(first_step, first_step + n):
+            clock["t"] += 1.0 / rate
+            hook.on_step(s + 1, {"loss": 1.0})
+            hook.on_step_end(s + 1, None)
+
+    with caplog.at_level(logging.INFO, logger="x3d_tpu.train"):
+        run_epoch(1, 0, rate=10.0)
+        clock["t"] += 30.0          # epoch-end validation + checkpoint
+        run_epoch(2, 10, rate=10.0)
+    rates = [float(r.getMessage().rsplit("(", 1)[1].split()[0])
+             for r in caplog.records if "steps/s" in r.getMessage()]
+    assert len(rates) == 2
+    for sps in rates:
+        assert sps == pytest.approx(10.0, rel=0.05), rates

@@ -37,10 +37,21 @@ class LoggingHook(Hook):
         self._every = log_every
         self._t0 = time.time()
         self._last_step = 0
+        self._cur_step = 0
 
     def on_epoch_start(self, epoch, lr):
         log.info("epoch %d starting, lr=%.6f", epoch, lr)
+        # Restart the rate window at the epoch boundary (epoch-end work —
+        # validation, checkpoints — must not count as step time).  The
+        # window's step origin must move too, or a report whose window
+        # crosses an epoch divides the full step delta by the post-boundary
+        # time only and over-reports (observed 49.6 "steps/s" on a ~10
+        # steps/s run).
         self._t0 = time.time()
+        self._last_step = self._cur_step
+
+    def on_step_end(self, step, state):
+        self._cur_step = step
 
     def on_step(self, step, metrics):
         if step % self._every == 0:
