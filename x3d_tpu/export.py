@@ -36,7 +36,8 @@ from x3d_tpu.utils import normalize
 
 
 def export_saved_model(cfg, variables, export_dir: str, *,
-                       dtype=jnp.float32, batch_clips=None) -> str:
+                       dtype=jnp.float32, batch_clips=None,
+                       platforms=("cpu", "tpu")) -> str:
     """Write a TF SavedModel serving ``variables`` at ``cfg``'s protocol.
 
     Args:
@@ -50,6 +51,13 @@ def export_saved_model(cfg, variables, export_dir: str, *,
       batch_clips: fix the clip-batch dimension (an int) for
         serving stacks that want fully static shapes; None (default)
         exports a shape-polymorphic batch.
+      platforms: StableHLO lowering platforms baked into the artifact.
+        Without an explicit list, jax2tf lowers for the process's default
+        backend only — an export run on a TPU host then serves ONLY on
+        TPU ("platform CPU is not among the platforms required by the
+        module", hit in the round-4 full-dress rehearsal, docs/RUNBOOK.md).
+        The (cpu, tpu) default makes the artifact servable on plain
+        CPU TF-Serving AND TPU hosts; add "cuda" for GPU servers.
 
     Returns:
       export_dir.
@@ -97,8 +105,9 @@ def export_saved_model(cfg, variables, export_dir: str, *,
     depthwise.set_default_impl("xla")
     pointwise.set_default_impl("conv")
     try:
-        converted = jax2tf.convert(clip_probs, polymorphic_shapes=poly,
-                                   with_gradient=False)
+        converted = jax2tf.convert(
+            clip_probs, polymorphic_shapes=poly, with_gradient=False,
+            native_serialization_platforms=tuple(platforms))
 
         serve_clips = tf.function(
             lambda x: {"probabilities": converted(tf_params, x)},

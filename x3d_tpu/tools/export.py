@@ -36,6 +36,12 @@ flags.DEFINE_bool(
     "allow_random_init", False,
     "Export a randomly initialised model when no checkpoint exists "
     "(smoke tests only).")
+flags.DEFINE_list(
+    "platforms", "cpu,tpu",
+    "StableHLO lowering platforms baked into the SavedModel (cpu, tpu, "
+    "cuda).  The default serves on plain CPU TF-Serving and TPU hosts; "
+    "without an explicit list jax2tf would bake only the exporting "
+    "host's backend.")
 
 flags.mark_flags_as_required(["cfg", "model_folder", "export_dir"])
 
@@ -86,7 +92,8 @@ def main(_):
 
     out = export_saved_model(
         cfg, variables, FLAGS.export_dir, dtype=dtype,
-        batch_clips=FLAGS.batch_clips or None)
+        batch_clips=FLAGS.batch_clips or None,
+        platforms=tuple(p.strip() for p in FLAGS.platforms))
     log.info("SavedModel written to %s", out)
     if FLAGS.tflite:
         if not FLAGS.batch_clips:
