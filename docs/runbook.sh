@@ -122,6 +122,15 @@ stage 10_eval_rawvideo python -m x3d_tpu.tools.eval --cfg="$CFG" \
     --model_folder="$WORK/model" --notfrecord \
     --test_file_pattern="$WORK/val.txt" "${OPTS[@]}"
 
+# raw-video TRAIN: the reference's decode-on-the-fly default
+# (dataloader.py:29-63) through the full train CLI — decodes the real mp4s
+# per step with the production backend (OpenCV/libavcodec here); short run,
+# separate model_dir (the rehearsal metric model stays TFRecord-trained)
+stage 10b_train_rawvideo python -m x3d_tpu.tools.train --config="$CFG" \
+    --train_file_pattern="$WORK/train.txt" --model_dir="$WORK/model_raw" \
+    --nouse_tfrecord --epochs=1 --steps_per_epoch=8 \
+    --save_checkpoints_step=8 "${OPTS[@]}"
+
 check_top1() {  # check_top1 <log> <min>
   python - "$1" "$2" <<'PY'
 import json, sys
