@@ -117,6 +117,13 @@ stage 09_eval_tfrecord python -m x3d_tpu.tools.eval --cfg="$CFG" \
     --model_folder="$WORK/model" --tfrecord \
     --test_file_pattern="$WORK/tfr/val-*" "${OPTS[@]}"
 
+# 3-crop TTA protocol (the L/XL YAMLs' commented 10x3 variant) on the same
+# data: 30 views/video through the left/center/right crop ensemble
+stage 09b_eval_tta python -m x3d_tpu.tools.eval --cfg="$CFG" \
+    --model_folder="$WORK/model" --tfrecord \
+    --test_file_pattern="$WORK/tfr/val-*" "${OPTS[@]}" \
+    --opts TEST.NUM_SPATIAL_CROPS=3
+
 # --------------------------- 7. eval: raw-video path (real mp4 decode, cv2)
 stage 10_eval_rawvideo python -m x3d_tpu.tools.eval --cfg="$CFG" \
     --model_folder="$WORK/model" --notfrecord \
