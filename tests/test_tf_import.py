@@ -144,6 +144,13 @@ def test_value_level_import_logit_parity(tmp_path):
         return node
 
     tf.keras.utils.set_random_seed(0)
+    # Quirk Q1 (SURVEY.md §5): the reference's ResBlock/ResStage counters
+    # are class attributes that survive across constructions — any earlier
+    # test that built a reference model (e.g. the 55-block XL parity case)
+    # would shift this model's SE placement off the published
+    # first-instance pattern.  Reset to first-instance state.
+    ref_model_module.ResBlock._block_index = 0
+    ref_model_module.ResStage._stage_index = 2
     ref = ref_model_module.X3D(to_ns(cfg))
     x_np = np.random.RandomState(0).standard_normal(
         (2, 4, 64, 64, 3)).astype(np.float32)
