@@ -206,6 +206,27 @@ def bench_variant(name: str, on_accel: bool) -> dict:
     return result
 
 
+def bench_variant_with_retry(name: str, on_accel: bool, tries: int = 3):
+    """The axon tunnel occasionally drops a remote-compile response mid-read
+    (observed: 'response body closed before all bytes were read' killing a
+    5-variant run on its FIRST latency probe).  Such faults are transient
+    process-external I/O, not measurement noise — retry the whole variant
+    so one flake doesn't erase the table."""
+    import sys
+    import traceback
+
+    for attempt in range(tries):
+        try:
+            return bench_variant(name, on_accel)
+        except Exception:
+            if attempt == tries - 1:
+                raise
+            traceback.print_exc(file=sys.stderr)
+            print(f"bench_variant({name}) attempt {attempt + 1} failed; "
+                  "retrying after transient runtime error", file=sys.stderr)
+            time.sleep(10 * (attempt + 1))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -224,7 +245,7 @@ def main() -> None:
 
     variants = {}
     for name in variant_names:
-        variants[name] = bench_variant(name, on_accel)
+        variants[name] = bench_variant_with_retry(name, on_accel)
 
     m = variants.get("M") or next(iter(variants.values()))
     dtype_name = "bfloat16" if on_accel else "float32"
