@@ -220,6 +220,29 @@ def _build_default() -> CfgNode:
     c.WANDB.MODE = "online"
     c.WANDB.TENSORBOARD = True
 
+    # Multigrid training (Wu et al., CVPR 2020) — long-cycle only.  The
+    # reference lists this on its roadmap but never built it
+    # (/root/reference/README.md:125); no reference YAML sets these keys.
+    # Coarse phases keep B*T*S^2 ~ constant, so every phase's batch is a
+    # multiple of the base (full 128-lane tiles on TPU) and the shape set
+    # is static — one XLA compilation per phase (train/multigrid.py).
+    c.MULTIGRID = CfgNode()
+    c.MULTIGRID.ENABLE = False
+    # (temporal factor, spatial factor) per long-cycle phase, coarse ->
+    # fine; the last entry must be the base shape [1.0, 1.0].  The batch
+    # multiplier is derived as round(1 / (t * s^2)): 8, 4, 2, 1.
+    c.MULTIGRID.LONG_CYCLE_FACTORS = [
+        [0.25, 0.7071], [0.5, 0.7071], [0.5, 1.0], [1.0, 1.0]]
+    c.MULTIGRID.EPOCH_BLOCK = 1          # epochs spent in a phase before
+                                         # advancing the cycle
+    c.MULTIGRID.FINETUNE_FRACTION = 0.1  # trailing fraction of epochs pinned
+                                         # to the base shape (paper's
+                                         # fine-tuning segment)
+    c.MULTIGRID.SPATIAL_DIVISOR = 8      # phase crop sizes round to this
+    c.MULTIGRID.BN_RECALC_BATCHES = 0    # >0: re-estimate BN statistics over
+                                         # N base-shape batches before each
+                                         # validation pass (precise-BN analog)
+
     # TPU-native additions (no reference counterpart; absent from its YAMLs).
     c.TPU = CfgNode()
     c.TPU.SYNC_BN = True                 # True: batch stats over the global

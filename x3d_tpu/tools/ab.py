@@ -34,7 +34,8 @@ import time
 
 def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
            remat: str = "auto", crop: int | None = None,
-           fold: str = "config", mode: str = "train") -> dict:
+           fold: str = "config", mode: str = "train",
+           temp: int | None = None) -> dict:
     import functools
 
     import jax
@@ -64,6 +65,8 @@ def run_ab(variant: str, dw: str, pw: str, batch: int, steps: int,
         # override whichever geometry this mode actually benchmarks
         cfg.DATA.TRAIN_CROP_SIZE = crop
         cfg.DATA.TEST_CROP_SIZE = crop
+    if temp:
+        cfg.DATA.TEMP_DURATION = temp  # multigrid phase geometries
     dtype = jnp.bfloat16
     remat_arg = {"auto": None, "true": True, "false": False,
                  "off": False}.get(str(remat).lower(), str(remat).lower())
@@ -145,6 +148,9 @@ def main(argv=None):
     flags.DEFINE_string("remat", "auto",
                         "Remat mode: auto/off/block/stage/convs.")
     flags.DEFINE_integer("crop", 0, "Override TRAIN_CROP_SIZE (0 = config).")
+    flags.DEFINE_integer("temp", 0,
+                         "Override TEMP_DURATION (0 = config; multigrid "
+                         "phase geometries).")
     flags.DEFINE_string("fold", "config",
                         "Time-folded layout: config/auto/on/off.")
     flags.DEFINE_string("mode", "train",
@@ -156,7 +162,7 @@ def main(argv=None):
         print(json.dumps(run_ab(FLAGS.variant.upper(), FLAGS.dw, FLAGS.pw,
                                 FLAGS.batch, FLAGS.steps, FLAGS.remat,
                                 FLAGS.crop or None, FLAGS.fold,
-                                FLAGS.mode)))
+                                FLAGS.mode, FLAGS.temp or None)))
 
     app.run(run, argv=argv)
 

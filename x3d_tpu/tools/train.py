@@ -10,7 +10,9 @@ Reference flags kept verbatim: config, train_file_pattern, val_file_pattern,
 model_dir, pretrained_ckpt, num_gpus (here: chips), save_checkpoints_step,
 mixed_precision (here: bf16 — no loss scaling needed on TPU, SURVEY.md C20),
 use_tfrecord, debug.  Added: --synthetic (smoke-train without data),
---steps_per_epoch / --epochs overrides, --opts KEY VALUE config overrides.
+--steps_per_epoch / --epochs overrides, --opts KEY VALUE config overrides,
+--multigrid (long-cycle multigrid training, train/multigrid.py — the
+reference's unbuilt roadmap item, README.md:125).
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ flags.DEFINE_bool("synthetic", False,
 flags.DEFINE_bool("native_loader", False,
                   "Use the C++ clip loader (x3d_tpu/native) instead of "
                   "tf.data for the training input pipeline.")
+flags.DEFINE_bool("multigrid", False,
+                  "Long-cycle multigrid training (train/multigrid.py): "
+                  "coarse-shape epochs at proportionally larger batches, "
+                  "base-shape fine-tuning tail.  Also enabled by "
+                  "MULTIGRID.ENABLE in the config.")
 flags.DEFINE_integer("steps_per_epoch", None,
                      "Override DATASET_SIZE // BATCH_SIZE.")
 flags.DEFINE_integer("epochs", None, "Override TRAIN.EPOCHS.")
@@ -98,14 +105,51 @@ def main(_):
         1, cfg.TRAIN.DATASET_SIZE // batch)
     epochs = FLAGS.epochs or cfg.TRAIN.EPOCHS
 
+    multigrid = FLAGS.multigrid or cfg.MULTIGRID.ENABLE
+    schedule = None
+    if multigrid:
+        if FLAGS.native_loader:
+            raise app.UsageError(
+                "--multigrid needs the tf.data pipeline (per-phase "
+                "geometries); drop --native_loader")
+        from x3d_tpu.train.multigrid import MultigridSchedule
+        schedule = MultigridSchedule(cfg, steps_per_epoch, epochs)
+        log.info("multigrid long-cycle schedule:\n%s", schedule.describe())
+
+    host_kw = dict(host_id=jax.process_index(),
+                   host_count=jax.process_count())
+
+    def batches_for_phase(phase):
+        """Multigrid: a train iterator at one long-cycle phase's geometry."""
+        phase_cfg = phase.apply_to_config(cfg)
+        local = max(1, phase.batch_size // jax.process_count())
+        if FLAGS.synthetic:
+            return synthetic_batches(phase_cfg, local, is_training=True,
+                                     dtype=dtype)
+        reader = InputReader(phase_cfg, is_training=True,
+                             use_tfrecord=FLAGS.use_tfrecord, **host_kw)
+        return reader.device_iterator(
+            FLAGS.train_file_pattern, local, mesh=mesh, dtype=dtype)
+
     # data
-    if FLAGS.synthetic:
+    if multigrid:
+        train_iter = None
+        val_fn = None
+        if not FLAGS.synthetic and FLAGS.val_file_pattern:
+            val_reader = InputReader(cfg, is_training=False,
+                                     use_tfrecord=FLAGS.use_tfrecord,
+                                     **host_kw)
+
+            def val_fn():
+                return val_reader.device_iterator(
+                    FLAGS.val_file_pattern,
+                    max(1, cfg.TEST.BATCH_SIZE // jax.process_count()),
+                    mesh=mesh, dtype=dtype)
+    elif FLAGS.synthetic:
         train_iter = synthetic_batches(cfg, batch, is_training=True,
                                        dtype=dtype)
         val_fn = None
     else:
-        host_kw = dict(host_id=jax.process_index(),
-                       host_count=jax.process_count())
         # each host feeds its slice of the global batch
         local_batch = batch // jax.process_count()
         if FLAGS.native_loader:
@@ -138,9 +182,22 @@ def main(_):
                     mesh=mesh, dtype=dtype)
 
     # model state (+ resume / warm start)
-    sample = next(train_iter)
-    state = create_train_state(cfg, model, rng, sample["video"][:1],
-                               steps_per_epoch=steps_per_epoch)
+    if multigrid:
+        # Parameters are input-shape-independent; init from a base-shape
+        # zeros clip so no phase iterator is consumed before the loop.
+        import jax.numpy as jnp
+        from x3d_tpu.train.state import make_optimizer
+        sample = {"video": jnp.zeros(
+            (1, cfg.DATA.TEMP_DURATION, cfg.DATA.TRAIN_CROP_SIZE,
+             cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.NUM_INPUT_CHANNELS), dtype)}
+        tx = make_optimizer(cfg, steps_per_epoch,
+                            schedule=schedule.make_lr_schedule())
+        state = create_train_state(cfg, model, rng, sample["video"],
+                                   steps_per_epoch=steps_per_epoch, tx=tx)
+    else:
+        sample = next(train_iter)
+        state = create_train_state(cfg, model, rng, sample["video"][:1],
+                                   steps_per_epoch=steps_per_epoch)
     state = shard_state(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(FLAGS.model_dir, "checkpoints"))
@@ -152,8 +209,12 @@ def main(_):
         # schedule resumes correctly because the optax schedule count is
         # part of the restored opt_state.
         resume_step = int(jax.device_get(state.step))
-        initial_epoch = resume_step // steps_per_epoch
-        initial_step_in_epoch = resume_step % steps_per_epoch
+        if multigrid:
+            initial_epoch, initial_step_in_epoch = (
+                schedule.position_for_step(resume_step))
+        else:
+            initial_epoch = resume_step // steps_per_epoch
+            initial_step_in_epoch = resume_step % steps_per_epoch
         log.info("resumed at global step %d (epoch %d, step-in-epoch %d)",
                  resume_step, initial_epoch, initial_step_in_epoch)
     elif FLAGS.pretrained_ckpt:
@@ -190,6 +251,34 @@ def main(_):
     ]
     if FLAGS.profile_batch:
         hooks.append(ProfileHook(FLAGS.model_dir, FLAGS.profile_batch))
+
+    if multigrid:
+        from x3d_tpu.train.multigrid import (fit_multigrid,
+                                             make_bn_recalibrator)
+        bn_recal_fn = None
+        if cfg.MULTIGRID.BN_RECALC_BATCHES > 0 and val_fn is not None:
+            import itertools
+            n = cfg.MULTIGRID.BN_RECALC_BATCHES
+            recal_iter = batches_for_phase(schedule.phases[-1])
+            bn_recal_fn = make_bn_recalibrator(
+                model, lambda: itertools.islice(recal_iter, n), n, rng)
+        fit_multigrid(
+            cfg,
+            state,
+            train_step,
+            schedule,
+            batches_for_phase,
+            rng=rng,
+            initial_epoch=initial_epoch,
+            initial_step_in_epoch=initial_step_in_epoch,
+            eval_step=eval_step,
+            val_batches_fn=val_fn,
+            hooks=hooks,
+            metrics_every=FLAGS.save_checkpoints_step or 50,
+            bn_recal_fn=bn_recal_fn,
+        )
+        ckpt.close()
+        return
 
     def train_with_first(first, rest):
         yield first

@@ -9,3 +9,8 @@ from x3d_tpu.train.steps import (  # noqa: F401
 )
 from x3d_tpu.train.checkpoint import CheckpointManager  # noqa: F401
 from x3d_tpu.train.loop import evaluate, fit  # noqa: F401
+from x3d_tpu.train.multigrid import (  # noqa: F401
+    MultigridSchedule,
+    fit_multigrid,
+    make_bn_recalibrator,
+)

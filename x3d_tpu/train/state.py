@@ -37,7 +37,8 @@ class TrainState:
         )
 
 
-def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+def make_optimizer(cfg, steps_per_epoch: int,
+                   schedule=None) -> optax.GradientTransformation:
     """SGD-with-Nesterov-momentum or Adam, on the per-epoch-stepped schedule.
 
     Mirrors the reference's optimizer build (``train.py:87-97``): SGD uses
@@ -51,8 +52,13 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     identical; across an epoch's LR change they differ transiently for
     O(1/(1-m)) steps — negligible against the 256-epoch schedule, noted for
     exact-parity audits.
+
+    ``schedule``: optional step->lr override (e.g. the multigrid schedule,
+    whose steps-per-epoch varies by phase); defaults to the reference's
+    per-epoch staircase.
     """
-    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    if schedule is None:
+        schedule = make_lr_schedule(cfg, steps_per_epoch)
     name = cfg.TRAIN.OPTIMIZER.lower()
     if name == "sgd":
         return optax.sgd(schedule, momentum=cfg.TRAIN.MOMENTUM, nesterov=True)
@@ -62,12 +68,19 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg, model: X3D, rng, sample_clip,
-                       steps_per_epoch: int | None = None) -> TrainState:
-    """Initialise variables (under jit) and wrap them in a TrainState."""
+                       steps_per_epoch: int | None = None,
+                       tx: optax.GradientTransformation | None = None
+                       ) -> TrainState:
+    """Initialise variables (under jit) and wrap them in a TrainState.
+
+    ``tx``: optional pre-built optimizer (e.g. one on the multigrid LR
+    schedule); defaults to ``make_optimizer(cfg, steps_per_epoch)``.
+    """
     if steps_per_epoch is None:
         steps_per_epoch = max(1, cfg.TRAIN.DATASET_SIZE // cfg.TRAIN.BATCH_SIZE)
     variables = init_variables(model, rng, sample_clip)
-    tx = make_optimizer(cfg, steps_per_epoch)
+    if tx is None:
+        tx = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
