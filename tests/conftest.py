@@ -31,6 +31,33 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running tests")
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast green-ness subset (<10 min on this 1-core host): "
+        "config merge, expansion math, LR schedule, train/eval steps, "
+        "transform geometry oracles, param-count parity.  Run with "
+        "`pytest -m smoke`; the full suite is unchanged.")
+
+
+# Smoke tier membership (VERDICT r4 #4): cheap to check, wide blast
+# radius — these cover the invariants every other feature builds on.
+_SMOKE_MODULES = {"test_config", "test_expansion", "test_train"}
+_SMOKE_TESTS = {
+    "test_param_count_parity",                       # the param oracle
+    "test_train_sampling_matches_reference_oracle",  # temporal indices
+    "test_eval_sampling_matches_reference_oracle",
+    "test_uniform_crop_center_offsets",              # crop geometry
+    "test_uniform_crop_left_right",
+    "test_short_side_resize_geometry",
+    "test_flip_bug_replication_flag",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if item.module.__name__ in _SMOKE_MODULES or base in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture(scope="session")

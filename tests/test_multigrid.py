@@ -82,10 +82,47 @@ def test_schedule_phase_geometry():
         clips = p.batch_size * p.steps_per_epoch
         assert abs(clips - base_clips) / base_clips < 0.05
 
-    # trailing 10% of epochs pinned to the base shape; earlier epochs cycle
+    # trailing 10% of epochs pinned to the base shape; the cycled segment
+    # is aligned backwards so its LAST epoch is the base phase (progressive
+    # annealing into fine-tuning), with the leading remainder extending the
+    # coarsest phase: 18 cycled epochs = 2 remainder + 4 full cycles.
     assert sched.epoch_phase[-1] == 3 and sched.epoch_phase[-2] == 3
-    assert sched.epoch_phase[:4] == [0, 1, 2, 3]
-    assert sched.epoch_phase[4:8] == [0, 1, 2, 3]
+    assert sched.epoch_phase[:2] == [0, 0]
+    assert sched.epoch_phase[2:18] == [0, 1, 2, 3] * 4
+    assert sched.epoch_phase[17] == 3        # last cycled epoch == base
+
+    # default YAML jitter ranges stay non-degenerate in every phase
+    # (the max(S, .) floor must not collapse the scale-augmentation range)
+    for p in sched.phases:
+        assert p.jitter_scales[0] < p.jitter_scales[1], p
+
+
+def test_cycle_always_ends_on_base_phase():
+    """Alignment invariant: for any (epochs, block, n_fine) combination the
+    epoch before the fine-tune tail is the base phase — the run never jumps
+    from a coarse phase straight into base-shape fine-tuning."""
+    cfg = tiny_cfg()
+    for epochs in range(2, 30):
+        for block in (1, 2, 3):
+            cfg.MULTIGRID.EPOCH_BLOCK = block
+            sched = MultigridSchedule(cfg, base_steps_per_epoch=8,
+                                      epochs=epochs)
+            n_base = len(sched.phases) - 1
+            n_fine = sum(1 for _ in sched.epoch_phase
+                         if _ == n_base)  # >= the tail
+            boundary = epochs - max(
+                1, int(round(epochs * cfg.MULTIGRID.FINETUNE_FRACTION)))
+            if boundary > 0:
+                assert sched.epoch_phase[boundary - 1] == n_base, (
+                    epochs, block, sched.epoch_phase)
+            # monotone within the cycled segment: phases never step
+            # backwards except at a cycle restart (coarsest)
+            prev = None
+            for e in range(boundary):
+                p = sched.epoch_phase[e]
+                if prev is not None:
+                    assert p >= prev or p == 0, sched.epoch_phase
+                prev = p
 
 
 def test_schedule_requires_base_shape_last():
@@ -124,9 +161,41 @@ def test_position_for_step_roundtrips():
         for i in sorted({0, n // 2, n - 1}):
             step = int(sched.first_step[epoch]) + i
             assert sched.position_for_step(step) == (epoch, i)
-    # resume exactly at the end lands on the last epoch's final position
-    e, i = sched.position_for_step(sched.total_steps())
-    assert e == 5
+    # resume exactly at (or past) the end is a finished run: (epochs, 0),
+    # so fit_multigrid no-ops instead of replaying the final epoch's hooks,
+    # validation, and BN recalibration (ADVICE r4)
+    assert sched.position_for_step(sched.total_steps()) == (6, 0)
+    assert sched.position_for_step(sched.total_steps() + 7) == (6, 0)
+
+
+def test_finished_run_resumes_as_noop():
+    """fit_multigrid at initial_epoch == epochs runs no epoch hooks and
+    returns the state unchanged (mirrors loop.fit's initial_epoch=epochs)."""
+    cfg = tiny_cfg()
+    cfg.MULTIGRID.LONG_CYCLE_FACTORS = [[1.0, 1.0]]
+    model = create_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    sched = MultigridSchedule(cfg, base_steps_per_epoch=2, epochs=2)
+    state = create_train_state(
+        cfg, model, rng, jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+        steps_per_epoch=2)
+
+    fired = []
+
+    class Record:
+        def on_epoch_start(self, *a): fired.append("epoch_start")
+        def on_step(self, *a): fired.append("step")
+        def on_step_end(self, *a): fired.append("step_end")
+        def on_epoch_end(self, *a): fired.append("epoch_end")
+        def on_train_end(self): fired.append("train_end")
+
+    def fail_batches(phase):
+        raise AssertionError("a finished run must not build iterators")
+
+    out = fit_multigrid(cfg, state, None, sched, fail_batches, rng=rng,
+                        initial_epoch=sched.epochs, hooks=[Record()])
+    assert fired == ["train_end"]
+    assert out is state
 
 
 # ------------------------------------------------------------------- loops
@@ -217,9 +286,10 @@ def test_bn_recalibrator_reestimates_stats():
                                jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
                                steps_per_epoch=2)
 
+    m = cfg.NETWORK.BN.MOMENTUM
     shifted = jnp.full((2, 4, 32, 32, 3), 3.0, jnp.float32)
     recal = make_bn_recalibrator(
-        model, lambda: iter([{"video": shifted}] * 4), 4, rng)
+        model, lambda: iter([{"video": shifted}] * 4), 4, rng, momentum=m)
     new_state = recal(state)
 
     before = jax.tree_util.tree_leaves(state.batch_stats)
@@ -231,6 +301,41 @@ def test_bn_recalibrator_reestimates_stats():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         state.params, new_state.params)
+
+
+def test_bn_recalibration_is_exact_average_not_ema():
+    """Precise-BN replaces the running statistics with the true per-batch
+    average: with identical batches the result is independent of N (under
+    the old EMA chaining, momentum^N of the stale statistics survived, so
+    N=1 and N=8 disagreed by ~(0.9 - 0.9^8) of the stale value)."""
+    cfg = tiny_cfg()
+    model = create_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(4)
+    m = cfg.NETWORK.BN.MOMENTUM
+    state = create_train_state(cfg, model, rng,
+                               jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+                               steps_per_epoch=2)
+    batch = {"video": jax.random.normal(jax.random.PRNGKey(5),
+                                        (2, 4, 32, 32, 3), jnp.float32) + 2.0}
+
+    recal1 = make_bn_recalibrator(model, lambda: iter([batch] * 1), 1, rng,
+                                  momentum=m)
+    recal8 = make_bn_recalibrator(model, lambda: iter([batch] * 8), 8, rng,
+                                  momentum=m)
+    s1, s8 = recal1(state), recal8(state)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        s1.batch_stats, s8.batch_stats)
+
+    # and no trace of the initialization statistics survives: a second
+    # recalibration from the already-recalibrated state is a fixed point
+    s_again = make_bn_recalibrator(model, lambda: iter([batch] * 2), 2, rng,
+                                   momentum=m)(s1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        s1.batch_stats, s_again.batch_stats)
 
 
 # --------------------------------------------------------------------- CLI

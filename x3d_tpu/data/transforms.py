@@ -88,6 +88,13 @@ class SpatialTransforms:
                  random_hflip: bool = False,
                  replicate_flip_bug: bool = False,
                  seed: int | None = None):
+        if not is_training and num_crops not in (1, 3):
+            # The reference only ever evaluates with 1 (center) or 3
+            # (left/center/right) crops (``transforms.py:149-190,216-221``);
+            # other counts would be untested extrapolation (e.g. 2 would
+            # silently yield left+center).
+            raise ValueError(
+                f"TEST.NUM_SPATIAL_CROPS must be 1 or 3, got {num_crops}")
         self._min = float(jitter_min)
         self._max = float(jitter_max)
         self._crop = int(crop_size)
@@ -201,6 +208,11 @@ class CropBoxPlanner:
     def __init__(self, jitter_min: int, jitter_max: int, crop_size: int,
                  is_training: bool, num_crops: int = 1,
                  seed: int | None = None):
+        if not is_training and num_crops not in (1, 3):
+            # same protocol guard as SpatialTransforms (reference uses only
+            # 1- and 3-crop evaluation)
+            raise ValueError(
+                f"TEST.NUM_SPATIAL_CROPS must be 1 or 3, got {num_crops}")
         self._min = float(jitter_min)
         self._max = float(jitter_max)
         self._crop = int(crop_size)

@@ -1,7 +1,15 @@
-"""Dense fused-lane activation layout — the flagship TPU optimisation.
+"""Dense fused-lane activation layout — a RETIRED round-1 experiment.
 
-Why this exists
----------------
+Status: unwired.  This module is not used by the model; the lane-density
+problem it attacks is solved in production by the aligned-channel mode
+(``TPU.FUSED_DW`` + ``models/x3d.py``'s aligned segment) and, for sub-128
+batches, the time-folded layout (``TPU.TIME_FOLD``, ops/depthwise.py) —
+both measured faster in full-step A/Bs (docs/PERF.md).  It is kept because
+the kernels are real, tested (tests/test_dense_layout.py), and document
+the lane-packing arithmetic the later work built on.
+
+Why this existed
+----------------
 TPU vector memory is tiled (sublane, lane) = (8, 128) over an array's two
 minormost dimensions.  X3D's channel counts (24, 54, 108, 216, 432 ...) are
 far from multiples of 128, so the natural NDHWC layout pads the lane (C)

@@ -261,7 +261,8 @@ def main(_):
             n = cfg.MULTIGRID.BN_RECALC_BATCHES
             recal_iter = batches_for_phase(schedule.phases[-1])
             bn_recal_fn = make_bn_recalibrator(
-                model, lambda: itertools.islice(recal_iter, n), n, rng)
+                model, lambda: itertools.islice(recal_iter, n), n, rng,
+                momentum=cfg.NETWORK.BN.MOMENTUM)
         fit_multigrid(
             cfg,
             state,

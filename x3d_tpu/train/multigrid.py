@@ -102,8 +102,21 @@ class MultigridSchedule:
             bmult = max(1, int(round(1.0 / (tf * sf * sf))))
             T = max(1, int(round(base_T * tf)))
             S = _round_to(base_S * sf, divisor)
+            # Jitter scales shrink with the crop (the paper scales the whole
+            # augmentation geometry by the spatial factor); ``max(S, ...)``
+            # is only a floor — the short-side resize target must be >= the
+            # crop or the crop is impossible.  With the reference's YAMLs
+            # (jitter min > crop size) the floor never binds, so the range
+            # stays non-degenerate (tests/test_multigrid.py pins this); if a
+            # custom config does bind on both ends, the phase degrades to a
+            # deterministic resize — warn, don't fail.
             jitter = tuple(max(S, int(round(j * sf)))
                            for j in cfg.DATA.TRAIN_JITTER_SCALES)
+            if len(set(jitter)) == 1 and len(jitter) > 1:
+                log.warning(
+                    "multigrid phase %d: jitter range collapsed to %s "
+                    "(crop %d floor); scale augmentation is disabled for "
+                    "this phase", i, jitter, S)
             self.phases.append(Phase(
                 index=i,
                 temp_duration=T,
@@ -116,16 +129,33 @@ class MultigridSchedule:
 
         # Epoch assignment: cycle coarse->fine in EPOCH_BLOCK-epoch blocks,
         # with the trailing FINETUNE_FRACTION of epochs pinned to the base
-        # shape (at least the final epoch).
+        # shape (at least the final epoch).  The cycled segment is aligned
+        # BACKWARDS from the fine-tune boundary so its last block is always
+        # the base phase — the paper's progressive annealing into
+        # fine-tuning; a leading remainder (when the segment isn't a whole
+        # number of cycles) extends the coarsest phase instead of truncating
+        # the final cycle mid-way.
         n_fine = max(1, int(round(epochs * mg.FINETUNE_FRACTION)))
         n_fine = min(n_fine, epochs)
         block = max(1, mg.EPOCH_BLOCK)
+        n_phases = len(self.phases)
+        n_cycled = epochs - n_fine
+        remainder = n_cycled % (block * n_phases)
         self.epoch_phase = []
         for epoch in range(epochs):
-            if epoch >= epochs - n_fine:
-                self.epoch_phase.append(len(self.phases) - 1)
+            if epoch >= n_cycled:
+                self.epoch_phase.append(n_phases - 1)
+            elif remainder == n_cycled:
+                # the segment is shorter than one full cycle: walk the tail
+                # of a single cycle backwards from the boundary (clamped to
+                # the coarsest), so it still ends on the base phase
+                k = (n_cycled - 1 - epoch) // block
+                self.epoch_phase.append(max(0, n_phases - 1 - k))
+            elif epoch < remainder:
+                self.epoch_phase.append(0)
             else:
-                self.epoch_phase.append((epoch // block) % len(self.phases))
+                self.epoch_phase.append(
+                    ((epoch - remainder) // block) % n_phases)
         self.epochs = epochs
         self.cfg = cfg
 
@@ -147,10 +177,18 @@ class MultigridSchedule:
         return int(self.first_step[-1])
 
     def position_for_step(self, step: int):
-        """Map a resumed optimizer step -> (epoch, step_in_epoch)."""
-        step = min(max(step, 0), self.total_steps())
+        """Map a resumed optimizer step -> (epoch, step_in_epoch).
+
+        A step at (or past) the end of the schedule maps to
+        ``(epochs, 0)`` so a finished run resumes as a no-op — the same
+        behaviour as the non-multigrid path's ``initial_epoch = epochs``
+        (clamping to the last epoch would replay its hooks, validation,
+        and BN recalibration, mutating batch_stats and re-saving the
+        final checkpoint)."""
+        step = max(step, 0)
+        if step >= self.total_steps():
+            return self.epochs, 0
         epoch = int(np.searchsorted(self.first_step, step, side="right")) - 1
-        epoch = min(epoch, self.epochs - 1)
         return epoch, int(step - self.first_step[epoch])
 
     def make_lr_schedule(self) -> Callable:
@@ -182,29 +220,51 @@ class MultigridSchedule:
 
 
 def make_bn_recalibrator(model, batches_fn: Callable[[], Iterable[dict]],
-                         num_batches: int, rng) -> Callable:
-    """Precise-BN analog: returns ``state -> state`` that re-estimates the
-    BN running statistics over ``num_batches`` base-shape batches (forward
-    passes in train mode, statistics mutable, parameters untouched)."""
+                         num_batches: int, rng, momentum: float) -> Callable:
+    """Precise-BN: returns ``state -> state`` that REPLACES the BN running
+    statistics with the exact average of ``num_batches`` base-shape batches'
+    statistics (forward passes in train mode, parameters untouched).
+
+    Every BN variant here updates running stats as
+    ``new = m*old + (1-m)*batch`` (``_BN``/``GroupedBatchNorm``/``_BNVars``,
+    models/x3d.py), so each batch's statistic is recovered exactly by
+    inverting the EMA against the *unchanged* pre-recalibration stats:
+    ``batch = (new - m*old) / (1-m)``.  The inverted statistics are then
+    plainly averaged — no momentum^N of the stale coarse-phase statistics
+    survives, unlike chaining EMA updates (with momentum 0.9 and N=10, ~35%
+    of the stale value would remain).  Averaging per-batch variances (not
+    pooling moments across batches) is the paper's precise-BN estimator.
+    """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def stats_step(state, video):
+    def batch_stats_of(state, video):
         _, mutated = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             video, train=True, return_logits=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
-        return state.replace(batch_stats=mutated["batch_stats"])
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            mutated["batch_stats"], state.batch_stats)
 
     def recalibrate(state):
         it = iter(batches_fn())
+        acc = None
+        n = 0
         for _ in range(num_batches):
             try:
                 batch = next(it)
             except StopIteration:
                 break
-            state = stats_step(state, batch["video"])
-        return state
+            stats = batch_stats_of(state, batch["video"])
+            acc = stats if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, stats)
+            n += 1
+        if n == 0:
+            return state
+        return state.replace(batch_stats=jax.tree_util.tree_map(
+            lambda a: a / n, acc))
 
     return recalibrate
 
