@@ -138,6 +138,54 @@ stage 10b_train_rawvideo python -m x3d_tpu.tools.train --config="$CFG" \
     --nouse_tfrecord --epochs=1 --steps_per_epoch=8 \
     --save_checkpoints_step=8 "${OPTS[@]}"
 
+# ---------------- 7b. multigrid train: mid-phase crash + resume (VERDICT r4)
+# Long-cycle multigrid through the full train CLI on the same shards:
+# 8 epochs walk phases 0,0,0,0,1,2,3,3 (base 12 steps/epoch -> 37 total
+# steps); the step-10 checkpoint lands mid-epoch-5 (phase 2, 4x batch), so
+# the kill -9 + resume exercises position_for_step mid-phase.  Precise-BN
+# (BN_RECALC_BATCHES=4) runs before each validation pass.
+MG_CMD=(python -m x3d_tpu.tools.train --config="$CFG"
+    --train_file_pattern="$WORK/tfr/train-*"
+    --val_file_pattern="$WORK/tfr/val-*"
+    --model_dir="$WORK/model_mg" --use_tfrecord --multigrid
+    --epochs=8 --save_checkpoints_step=10
+    --opts MULTIGRID.BN_RECALC_BATCHES=4 "${OPTS[@]}")
+
+mg_crash() {
+  "${MG_CMD[@]}" >"$LOGS/10c_train_multigrid_a.log" 2>&1 &
+  local pid=$!
+  echo "$pid" > "$WORK/train_mg.pid"
+  for _ in $(seq 1 600); do
+    if grep -q "checkpoint saved at step 10" "$LOGS/10c_train_multigrid_a.log"; then
+      sleep 1; kill -9 "$pid" 2>/dev/null || true
+      echo "killed -9 multigrid train pid $pid after the step-10 checkpoint"
+      wait "$pid" 2>/dev/null || true
+      return 0
+    fi
+    if ! kill -0 "$pid" 2>/dev/null; then
+      echo "multigrid train exited before the kill point — see $LOGS/10c_train_multigrid_a.log"
+      return 1
+    fi
+    sleep 2
+  done
+  echo "timed out waiting for the multigrid step-10 checkpoint"
+  kill -9 "$pid"; return 1
+}
+
+mg_resume() {
+  "${MG_CMD[@]}" 2>&1 | tee "$LOGS/10d_train_multigrid_b.log"
+  grep -q "resumed at global step" "$LOGS/10d_train_multigrid_b.log" || {
+    echo "FAIL: multigrid resume did not restore the checkpoint"; return 1; }
+  # the resume must land mid-schedule (epoch > 0), not replay from scratch
+  grep -qE "resumed at global step [0-9]+ \(epoch [1-9]" \
+      "$LOGS/10d_train_multigrid_b.log" || {
+    echo "FAIL: multigrid resume did not map the step to a later epoch"
+    return 1; }
+}
+
+stage 10c_train_multigrid_crash mg_crash
+stage 10d_train_multigrid_resume mg_resume
+
 check_top1() {  # check_top1 <log> <min>
   python - "$1" "$2" <<'PY'
 import json, sys

@@ -371,6 +371,70 @@ def test_train_cli_multigrid_synthetic(tmp_path):
     assert ckpts, "no checkpoint written by the multigrid CLI run"
 
 
+def test_train_cli_multigrid_crash_resume(tmp_path):
+    """kill -9 mid-phase, then resume: position_for_step must map the
+    restored optimizer step back to the right (epoch, step-in-epoch) —
+    the CPU-scale copy of the rehearsal's 10c/10d stages."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    cfg_yaml = tmp_path / "tiny.yaml"
+    cfg_yaml.write_text(
+        "NETWORK:\n  C1_CHANNELS: 4\n  DEPTH_FACTOR: 0.34\n"
+        "  NUM_CLASSES: 5\n  DROPOUT_RATE: 0.0\n"
+        "DATA:\n  TEMP_DURATION: 4\n  TRAIN_CROP_SIZE: 32\n"
+        "  TRAIN_JITTER_SCALES: [36, 44]\n  TEST_CROP_SIZE: 32\n"
+        "TRAIN:\n  BATCH_SIZE: 2\n  DATASET_SIZE: 8\n  EPOCHS: 3\n"
+        "TEST:\n  NUM_TEMPORAL_VIEWS: 1\n  NUM_SPATIAL_CROPS: 1\n"
+        "  BATCH_SIZE: 2\n"
+        "MULTIGRID:\n  SPATIAL_DIVISOR: 4\n"
+        "  LONG_CYCLE_FACTORS: [[0.5, 1.0], [1.0, 1.0]]\n")
+    # schedule: epochs [phase0 x2-steps, phase1 x4-steps, phase1 x4-steps]
+    # (first_step [0, 2, 6, 10]); the step-4 checkpoint is mid-epoch-1.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, "-m", "x3d_tpu.tools.train",
+           f"--config={cfg_yaml}", f"--model_dir={tmp_path / 'out'}",
+           "--synthetic", "--multigrid", "--nomixed_precision",
+           "--save_checkpoints_step=2"]
+
+    log_a = tmp_path / "train_a.log"
+    with open(log_a, "w") as fh:
+        proc = subprocess.Popen(cmd, stdout=fh, stderr=subprocess.STDOUT,
+                                env=env)
+        try:
+            deadline = time.time() + 540
+            killed = False
+            while time.time() < deadline:
+                if "checkpoint saved at step 4" in log_a.read_text(
+                        errors="replace"):
+                    time.sleep(0.5)
+                    proc.kill()   # SIGKILL: an unclean crash
+                    killed = True
+                    break
+                if proc.poll() is not None:
+                    break
+                time.sleep(1)
+            proc.wait(timeout=60)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    assert killed, (
+        "never saw the step-4 checkpoint; exited rc=%s\n%s"
+        % (proc.returncode, log_a.read_text(errors="replace")[-4000:]))
+
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    out = r.stderr + r.stdout
+    assert "resumed at global step 4 (epoch 1, step-in-epoch 2)" in out, out[-4000:]
+    # the resumed run completes the schedule (10 total steps -> final save)
+    assert "checkpoint saved at step 10" in out, out[-4000:]
+
+
 def test_multigrid_rejects_native_loader(tmp_path):
     import os
     import subprocess
