@@ -427,6 +427,16 @@ def _install_backstops(reporter: _Reporter, hard_deadline_s: float) -> None:
 
 
 def main() -> None:
+    # Backstops FIRST: jax.default_backend() below initialises the axon
+    # tunnel backend, which can hang indefinitely when the tunnel is down
+    # (observed round 5: even jax.devices() blocked >300 s).  The watchdog
+    # must already be armed so that failure mode leaves an explicit outage
+    # artifact instead of an empty rc=124.
+    budget = _Budget(float(os.environ.get("X3D_BENCH_BUDGET_S", "900")))
+    hard_s = float(os.environ.get("X3D_BENCH_HARD_S", str(budget.total + 240)))
+    reporter = _Reporter()
+    _install_backstops(reporter, hard_s)
+
     import jax
 
     backend = jax.default_backend()
@@ -440,11 +450,6 @@ def main() -> None:
         variant_names = list(VARIANT_ORDER)
     else:
         variant_names = ["M"]   # CPU smoke: one variant at tiny shapes
-
-    budget = _Budget(float(os.environ.get("X3D_BENCH_BUDGET_S", "900")))
-    hard_s = float(os.environ.get("X3D_BENCH_HARD_S", str(budget.total + 240)))
-    reporter = _Reporter()
-    _install_backstops(reporter, hard_s)
     lat_spec = os.environ.get("X3D_BENCH_LATENCY", "auto").strip().lower()
     if lat_spec == "auto":
         latency_names = list(variant_names)
