@@ -231,8 +231,16 @@ def bench_latency(name: str) -> float:
     """Serving latency: ONE video's view ensemble through InferenceEngine
     at its auto-selected layout (clips<=16 folds — the measured winner,
     tools/bench_serving + docs/PERF.md round 4).  Loop-slope device time:
-    the number a latency SLO is written against.  Costs ~3 tunnel compiles
-    (AOT engine + two loop-slope programs) — budget-gated by the caller."""
+    the number a latency SLO is written against.
+
+    Probe ORDER matters: a probe run at the END of the full bench
+    overstates latency (round 5: XS 2.12 ms vs 0.97 standalone, L 18.98
+    vs 8.73, XL 25.85 vs 14.6), while probes run right after their own
+    variant's stage matched the standalone tool (M 17.28 vs 17.2, S 7.86
+    vs 7.9) — so the caller interleaves each probe after its variant.  A
+    fresh-subprocess probe is NOT an option: a second JAX client on the
+    axon tunnel while the parent holds one hangs (round 5: 480 s timeout).
+    """
     from x3d_tpu import variant_config
     from x3d_tpu.serving import InferenceEngine
     from x3d_tpu.tools.bench_serving import _BASE_ITERS
@@ -437,6 +445,9 @@ def main() -> None:
     reporter = _Reporter()
     _install_backstops(reporter, hard_s)
 
+    from x3d_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()   # reruns skip the tunnel compiles entirely
+
     import jax
 
     backend = jax.default_backend()
@@ -501,9 +512,11 @@ def main() -> None:
         emit()
 
     # Stage order puts the headline's two numbers first: M train+infer,
-    # then M's latency probe, then the rest of the table, then the rest of
-    # the latency probes.  The first variant always runs unconditionally
-    # (an empty artifact is worse than an overrun).
+    # then M's latency probe, then the rest of the table with each
+    # variant's latency probe RIGHT AFTER its own stage (end-of-run
+    # probes overstate latency — see bench_latency).  The first variant
+    # always runs unconditionally (an empty artifact is worse than an
+    # overrun).
     try:
         first, rest = variant_names[0], variant_names[1:]
         run_variant(first)
@@ -514,11 +527,8 @@ def main() -> None:
             if not on_accel or budget.admit(f"variant:{name}",
                                             EST_VARIANT_S.get(name, 280)):
                 run_variant(name)
-        if on_accel:
-            for name in latency_names:
-                if name == first or name not in variants:
-                    continue
-                if budget.admit(f"latency:{name}", EST_LATENCY_S):
+                if on_accel and name in latency_names and budget.admit(
+                        f"latency:{name}", EST_LATENCY_S):
                     run_latency(name)
 
         # optional L 3-crop TTA datapoint
@@ -533,6 +543,8 @@ def main() -> None:
             reporter.finalize_empty(f"{type(e).__name__}: {e}")
         raise
 
+    if variants:
+        emit()   # refresh: admit() skips recorded after the last stage emit
     reporter.finalize()
 
 

@@ -55,7 +55,9 @@ def bench_one(variant: str, n_videos: int, fold, iters: int,
         "videos": n_videos,
         "views": views,
         "clips": n_videos * views,
-        "fold": fold if isinstance(fold, str) else bool(fold),
+        # report the engine's RESOLVED layout (fold=None = the auto rule)
+        "fold": (engine.layout if isinstance(engine.layout, str)
+                 else bool(engine.layout)),
         "input": (f"{n_videos * views}x{cfg.DATA.TEMP_DURATION}"
                   f"x{cfg.DATA.TEST_CROP_SIZE}^2"),
         "device_ms": round(device_s * 1e3, 2),
@@ -72,7 +74,9 @@ def main(argv=None):
     flags.DEFINE_string("videos", "1,4", "Request sizes in videos.")
     flags.DEFINE_string("fold", "both",
                         "Layout: both/on/off/mixed/all (time-folded vs "
-                        "unfolded vs half-folded trunk).")
+                        "unfolded vs half-folded trunk), or auto (the "
+                        "engine's measured <=16-clip fold rule — what "
+                        "production gets).")
     flags.DEFINE_integer("iters", 0,
                          "Loop-slope chain length (0 = per-variant auto).")
     flags.DEFINE_integer("wall_samples", 20, "Wall-clock sample count.")
@@ -80,7 +84,7 @@ def main(argv=None):
 
     def run(_):
         folds = {"both": (False, True), "on": (True,), "off": (False,),
-                 "mixed": ("mixed",),
+                 "mixed": ("mixed",), "auto": (None,),
                  "all": (False, True, "mixed")}[FLAGS.fold.lower()]
         for v in [s.strip().upper() for s in FLAGS.variants.split(",")]:
             for n in [int(s) for s in FLAGS.videos.split(",")]:

@@ -41,6 +41,10 @@ def setup_runtime(cfg, num_chips: int, precision_bf16: bool, debug: bool):
         jax.config.update("jax_debug_nans", True)
         logging.getLogger().setLevel(logging.DEBUG)
 
+    from x3d_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()   # absorbs the remote-compile tunnel cost
+                                 # across CLI invocations (utils.py)
+
     devices = jax.devices()
     if num_chips:
         devices = devices[:num_chips]
