@@ -490,6 +490,10 @@ def main() -> None:
                 m["infer_clips_per_sec_per_chip"] / n_chips, 2),
             # device p50 for one video's full view ensemble (serving SLO)
             "latency_ms": m.get("serve_latency_ms_1video"),
+            "latency_note": (
+                "measured inside a cache-warm process: XS/L/XL read ~1.8x "
+                "above the standalone cache-less tools/bench_serving "
+                "values (docs/PERF.md round 5); M/S are regime-invariant"),
             "train_step_ms": m["train_step_ms"],
             "infer_step_ms": m["infer_step_ms"],
             "train_batch": m["train_batch"],

@@ -72,6 +72,17 @@ class InferenceEngine:
 
         layouts = ([False, True, "mixed"] if time_fold == "measure"
                    else [time_fold])
+        # Latency-critical compiles bypass the persistent compilation
+        # cache: cache-enabled compiles run ~1.8x slower for lane-starved
+        # folded serving shapes (measured round 5 — utils.py
+        # without_compilation_cache docstring).
+        from x3d_tpu.utils import without_compilation_cache
+        self._no_cache = without_compilation_cache
+        with without_compilation_cache():
+            self._build_layouts(layouts, cfg, dtype, mean, std, shape)
+
+    def _build_layouts(self, layouts, cfg, dtype, mean, std, shape):
+        variables = self._variables
         best = None
         for layout in layouts:
             fold, stages = {False: (False, 4), True: (True, 4),
@@ -195,8 +206,9 @@ class InferenceEngine:
             return model.apply(variables, x.astype(dtype), train=False)
 
         clips = jnp.zeros(self.clip_shape, jnp.uint8)
-        return time_fn(request, jnp.zeros((), jnp.float32), clips,
-                       self._variables, iters=iters, outer=outer)
+        with self._no_cache():   # see __init__: cached compiles measure slow
+            return time_fn(request, jnp.zeros((), jnp.float32), clips,
+                           self._variables, iters=iters, outer=outer)
 
     def wall_latency_s(self, samples: int = 20) -> float:
         """Median wall-clock per request through the AOT executable,

@@ -46,6 +46,39 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     return cache_dir
 
 
+def without_compilation_cache():
+    """Context manager: bypass the persistent compilation cache.
+
+    Measured (round 5, v5e-1 via the axon tunnel): lane-starved folded
+    serving probes read ~1.8x slower in any process where compiles HIT a
+    warm persistent cache — XS 1-video 0.97-1.23 ms vs 2.1-2.2 ms, L 11.4
+    vs 18.3-18.7, XL ~14.6 vs 25.8 — even when the probe's own compiles
+    bypass the cache (the hit elsewhere in the process is enough); with a
+    FRESH cache dir (writes only) or no cache the fast regime returns.
+    ``jax_persistent_cache_enable_xla_caches="none"`` does not change it.
+    Full-lane programs are unaffected in either regime (M train step
+    449.7 ms, M/S probes identical).  Which regime matches a production
+    (non-tunnel) host is unknowable from this container — docs/PERF.md
+    round 5 records the full matrix.  Latency-critical serving compiles
+    run inside this context regardless: they must not depend on ambient
+    cache state.
+    """
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    return ctx()
+
+
 def tpu_compiler_options():
     """Per-jit XLA options that measurably help this model on TPU.
 
